@@ -1,0 +1,204 @@
+"""Posting-list codec: delta-gap + variable-byte blocks with skip data.
+
+Format (our own, designed for Parquet cells; capability parity with
+the tantivy-0.17 segment postings the reference drives — delta-packed
+doc blocks of 128 with skip info `[tantivy]`, SURVEY.md §2.4):
+
+A posting list for one ``(split, field, term)`` is stored as binary
+columns:
+
+- ``doc_bytes``   — varbyte stream of doc-id gaps. The first value is
+  the absolute first doc id; within a block, gaps are vs the previous
+  doc; the first gap of block k is vs the last doc of block k-1, so a
+  block is independently decodable given the skip table.
+- ``tf_bytes``    — varbyte stream of term frequencies (parallel).
+- ``skip_bytes``  — per block of 128 docs, fixed-width little-endian:
+  ``last_doc u32 | max_tf u32 | doc_off u32 | tf_off u32 | count u32``
+  (byte offsets into the two streams → block-max WAND can decode only
+  surviving blocks).
+- ``pos_bytes``   — optional positions stream: per doc, ``tf`` values
+  of delta-gapped token positions (first absolute). Needed only for
+  ``record: position`` fields (phrase queries).
+
+Everything here is vectorized numpy — called from Arrow-batched
+pandas UDFs, never per row in Python.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+BLOCK_SIZE = 128
+SKIP_ENTRY_WORDS = 5  # last_doc, max_tf, doc_off, tf_off, count
+
+
+def varbyte_encode(values: np.ndarray) -> bytes:
+    """LEB128-style varbyte (7 data bits, high bit = continuation)."""
+    v = np.asarray(values, dtype=np.uint64)
+    if v.size == 0:
+        return b""
+    nbytes = np.ones(v.size, dtype=np.int64)
+    tmp = v >> np.uint64(7)
+    while tmp.any():
+        nbytes += tmp > 0
+        tmp = tmp >> np.uint64(7)
+    ends = np.cumsum(nbytes)
+    out = np.zeros(int(ends[-1]), dtype=np.uint8)
+    idx = ends - nbytes
+    rem = v.copy()
+    active = np.ones(v.size, dtype=bool)
+    while active.any():
+        byte = (rem & np.uint64(0x7F)).astype(np.uint8)
+        rem = rem >> np.uint64(7)
+        more = rem > 0
+        out[idx[active]] = byte[active] | (more[active].astype(np.uint8) << 7)
+        idx = idx + 1
+        active = active & more
+    return out.tobytes()
+
+
+def varbyte_decode(buf: bytes | np.ndarray, count: int | None = None) -> np.ndarray:
+    """Decode a varbyte stream to uint64 values (vectorized reduceat)."""
+    arr = np.frombuffer(buf, dtype=np.uint8) if isinstance(buf, (bytes, bytearray, memoryview)) else buf
+    if arr.size == 0:
+        return np.empty(0, dtype=np.uint64)
+    cont = (arr & 0x80) != 0
+    # a byte starts a value iff the previous byte terminated one
+    starts = np.flatnonzero(np.concatenate(([True], ~cont[:-1])))
+    vid = np.zeros(arr.size, dtype=np.int64)
+    vid[starts[1:]] = 1
+    vid = np.cumsum(vid)
+    pos = np.arange(arr.size, dtype=np.uint64) - starts[vid].astype(np.uint64)
+    shifted = (arr & 0x7F).astype(np.uint64) << (np.uint64(7) * pos)
+    values = np.add.reduceat(shifted, starts)
+    if count is not None and values.size != count:
+        raise ValueError(f"decoded {values.size} values, expected {count}")
+    return values
+
+
+def _varbyte_lengths(values: np.ndarray) -> np.ndarray:
+    v = np.asarray(values, dtype=np.uint64)
+    nbytes = np.ones(v.size, dtype=np.int64)
+    tmp = v >> np.uint64(7)
+    while tmp.any():
+        nbytes += tmp > 0
+        tmp = tmp >> np.uint64(7)
+    return nbytes
+
+
+def encode_posting_list(
+    doc_ids: np.ndarray,
+    tfs: np.ndarray,
+    positions: list[np.ndarray] | None = None,
+) -> dict[str, bytes]:
+    """Encode one sorted posting list into the binary columns.
+
+    ``doc_ids`` must be strictly increasing. ``positions`` (optional)
+    is a per-doc array of strictly increasing token positions whose
+    lengths equal ``tfs``.
+    """
+    doc_ids = np.asarray(doc_ids, dtype=np.uint64)
+    tfs = np.asarray(tfs, dtype=np.uint64)
+    n = doc_ids.size
+    gaps = np.empty(n, dtype=np.uint64)
+    if n:
+        gaps[0] = doc_ids[0]
+        np.subtract(doc_ids[1:], doc_ids[:-1], out=gaps[1:])
+
+    doc_lens = _varbyte_lengths(gaps)
+    tf_lens = _varbyte_lengths(tfs)
+    doc_ends = np.cumsum(doc_lens)
+    tf_ends = np.cumsum(tf_lens)
+
+    n_blocks = (n + BLOCK_SIZE - 1) // BLOCK_SIZE
+    skip = np.zeros((n_blocks, SKIP_ENTRY_WORDS), dtype=np.uint32)
+    for b in range(n_blocks):
+        lo = b * BLOCK_SIZE
+        hi = min(lo + BLOCK_SIZE, n)
+        skip[b, 0] = doc_ids[hi - 1]
+        skip[b, 1] = tfs[lo:hi].max()
+        skip[b, 2] = doc_ends[lo - 1] if lo else 0
+        skip[b, 3] = tf_ends[lo - 1] if lo else 0
+        skip[b, 4] = hi - lo
+
+    out = {
+        "doc_bytes": varbyte_encode(gaps),
+        "tf_bytes": varbyte_encode(tfs),
+        "skip_bytes": skip.astype("<u4").tobytes(),
+    }
+    if positions is not None:
+        flat = []
+        for p in positions:
+            p = np.asarray(p, dtype=np.uint64)
+            g = np.empty(p.size, dtype=np.uint64)
+            if p.size:
+                g[0] = p[0]
+                np.subtract(p[1:], p[:-1], out=g[1:])
+            flat.append(g)
+        allg = np.concatenate(flat) if flat else np.empty(0, dtype=np.uint64)
+        out["pos_bytes"] = varbyte_encode(allg)
+    return out
+
+
+def decode_posting_list(
+    doc_bytes: bytes, tf_bytes: bytes, count: int
+) -> tuple[np.ndarray, np.ndarray]:
+    """Decode the full list → (doc_ids uint64 ascending, tfs uint64)."""
+    gaps = varbyte_decode(doc_bytes, count)
+    doc_ids = np.cumsum(gaps, dtype=np.uint64)
+    tfs = varbyte_decode(tf_bytes, count)
+    return doc_ids, tfs
+
+
+def decode_skip(skip_bytes: bytes) -> np.ndarray:
+    """Skip table as an (n_blocks, 5) uint32 array
+    (last_doc, max_tf, doc_off, tf_off, count)."""
+    arr = np.frombuffer(skip_bytes, dtype="<u4")
+    return arr.reshape(-1, SKIP_ENTRY_WORDS)
+
+
+def decode_blocks(
+    doc_bytes: bytes,
+    tf_bytes: bytes,
+    skip: np.ndarray,
+    block_mask: np.ndarray,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Decode only the blocks selected by ``block_mask``.
+
+    Returns (doc_ids, tfs) for the surviving blocks. Core of block-max
+    skipping: non-surviving blocks' bytes are never touched.
+    """
+    doc_arr = np.frombuffer(doc_bytes, dtype=np.uint8)
+    tf_arr = np.frombuffer(tf_bytes, dtype=np.uint8)
+    n_blocks = skip.shape[0]
+    docs_out: list[np.ndarray] = []
+    tfs_out: list[np.ndarray] = []
+    for b in np.flatnonzero(block_mask):
+        doc_off = int(skip[b, 2])
+        tf_off = int(skip[b, 3])
+        cnt = int(skip[b, 4])
+        doc_end = int(skip[b + 1, 2]) if b + 1 < n_blocks else doc_arr.size
+        tf_end = int(skip[b + 1, 3]) if b + 1 < n_blocks else tf_arr.size
+        gaps = varbyte_decode(doc_arr[doc_off:doc_end], cnt)
+        base = np.uint64(skip[b - 1, 0]) if b else np.uint64(0)
+        docs = np.cumsum(gaps, dtype=np.uint64) + base
+        docs_out.append(docs)
+        tfs_out.append(varbyte_decode(tf_arr[tf_off:tf_end], cnt))
+    if not docs_out:
+        return np.empty(0, dtype=np.uint64), np.empty(0, dtype=np.uint64)
+    return np.concatenate(docs_out), np.concatenate(tfs_out)
+
+
+def decode_positions(
+    pos_bytes: bytes, tfs: np.ndarray
+) -> list[np.ndarray]:
+    """Decode the positions stream into one array per doc."""
+    total = int(np.asarray(tfs, dtype=np.int64).sum())
+    flat = varbyte_decode(pos_bytes, total)
+    out: list[np.ndarray] = []
+    off = 0
+    for tf in np.asarray(tfs, dtype=np.int64):
+        seg = flat[off : off + tf]
+        out.append(np.cumsum(seg, dtype=np.uint64))
+        off += tf
+    return out

@@ -1,0 +1,309 @@
+"""Pure-numpy per-split query evaluation (Term/Bool/Phrase + BM25).
+
+This is the compute kernel the Spark search path runs inside an
+Arrow-batched ``applyInPandas`` per split — and, being pure, what the
+unit tests exercise directly. Capability map (SURVEY.md §2.6):
+
+- term / boolean (conjunction, disjunction, exclusion) / phrase
+  evaluation over decoded posting blocks `[tantivy]`;
+- BM25 per tantivy-0.17 semantics (operators/bm25.py), float32, with
+  1-byte quantized fieldnorms; phrase weight = (k1+1)·Σ idf(term)
+  (Lucene/tantivy phrase convention);
+- conjunctions decode only the blocks of larger lists that can
+  contain candidates from the smallest list (skip-data driven —
+  the block-max/skip machinery of the reference's postings);
+- single-term top-k uses block-max pruning: once the heap holds k
+  docs, blocks whose score upper bound (from per-block max_tf and
+  the split's best norm) can't beat the threshold are not decoded
+  (num_hits stays exact: it equals doc_freq);
+- deterministic tie-break ``(score desc, doc_id asc)`` per split;
+  global order adds split_id (lib.rs:99-104 parity).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+
+from quickwit_spark.operators import bm25
+from quickwit_spark.operators.codec import (
+    decode_blocks,
+    decode_posting_list,
+    decode_positions,
+    decode_skip,
+)
+from quickwit_spark.plans.parser import Bool, MatchNone, PhraseQ, TermQ
+
+_EMPTY = (np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float32))
+
+
+@dataclass
+class SplitContext:
+    """Everything the evaluator needs about one split."""
+
+    num_docs: int
+    total_tokens: dict[str, int]  # per field (exact)
+    postings: dict[tuple[str, str], dict]  # (field, term) -> row
+    norms: dict[str, np.ndarray]  # field -> uint8[num_docs]
+    ts: np.ndarray | None = None  # int64 micros[num_docs]
+
+    def avg_fieldnorm(self, field: str) -> float:
+        return float(
+            np.float32(self.total_tokens[field]) / np.float32(self.num_docs)
+        )
+
+
+def _decode_full(row: dict) -> tuple[np.ndarray, np.ndarray]:
+    docs, tfs = decode_posting_list(
+        row["doc_bytes"], row["tf_bytes"], int(row["doc_freq"])
+    )
+    return docs.astype(np.int64), tfs
+
+
+def _term_scores(
+    ctx: SplitContext, node: TermQ, docs: np.ndarray, tfs: np.ndarray, df: int
+) -> np.ndarray:
+    weight = bm25.term_weight(df, ctx.num_docs)
+    cache = bm25.norm_cache(ctx.avg_fieldnorm(node.field))
+    norm_ids = ctx.norms[node.field][docs]
+    return bm25.score_tf(tfs, norm_ids, weight, cache)
+
+
+def eval_term(ctx: SplitContext, node: TermQ) -> tuple[np.ndarray, np.ndarray]:
+    row = ctx.postings.get((node.field, node.term))
+    if row is None:
+        return _EMPTY
+    docs, tfs = _decode_full(row)
+    return docs, _term_scores(ctx, node, docs, tfs, int(row["doc_freq"]))
+
+
+def _candidate_blocks(skip: np.ndarray, candidates: np.ndarray) -> np.ndarray:
+    """Mask of blocks whose doc range may contain a candidate."""
+    last_docs = skip[:, 0].astype(np.int64)
+    blocks = np.searchsorted(last_docs, candidates, side="left")
+    mask = np.zeros(skip.shape[0], dtype=bool)
+    mask[np.unique(blocks[blocks < skip.shape[0]])] = True
+    return mask
+
+
+def eval_conjunction_terms(
+    ctx: SplitContext, terms: list[TermQ]
+) -> tuple[np.ndarray, np.ndarray]:
+    """AND of plain terms with skip-data-driven selective decode."""
+    rows = []
+    for t in terms:
+        row = ctx.postings.get((t.field, t.term))
+        if row is None:
+            return _EMPTY
+        rows.append((int(row["doc_freq"]), t, row))
+    # canonical ascending-(df, field, term) order — float32 sum order
+    # is part of the engine contract (oracle matches bit-for-bit)
+    rows.sort(key=lambda r: (r[0], r[1].field, r[1].term))
+    df0, t0, row0 = rows[0]
+    docs, tfs = _decode_full(row0)
+    scores = _term_scores(ctx, t0, docs, tfs, df0).astype(np.float32)
+    for df_i, t_i, row_i in rows[1:]:
+        if docs.size == 0:
+            return _EMPTY
+        skip = decode_skip(row_i["skip_bytes"])
+        mask = _candidate_blocks(skip, docs)
+        d_i, tf_i = decode_blocks(row_i["doc_bytes"], row_i["tf_bytes"], skip, mask)
+        d_i = d_i.astype(np.int64)
+        common, ia, ib = np.intersect1d(docs, d_i, return_indices=True)
+        s_i = _term_scores(ctx, t_i, common, tf_i[ib], df_i)
+        scores = (scores[ia] + s_i).astype(np.float32)
+        docs = common
+    return docs, scores
+
+
+def eval_phrase(ctx: SplitContext, node: PhraseQ) -> tuple[np.ndarray, np.ndarray]:
+    rows = []
+    for t in node.terms:
+        row = ctx.postings.get((node.field, t))
+        if row is None or row.get("pos_bytes") is None:
+            return _EMPTY
+        rows.append(row)
+    decoded = [_decode_full(r) for r in rows]
+    common = decoded[0][0]
+    for d, _ in decoded[1:]:
+        common = np.intersect1d(common, d)
+    if common.size == 0:
+        return _EMPTY
+    # positions per term, only needed for common docs
+    pos_per_term = []
+    for (docs, tfs), row in zip(decoded, rows):
+        all_pos = decode_positions(row["pos_bytes"], tfs)
+        idx = np.searchsorted(docs, common)
+        pos_per_term.append([all_pos[i] for i in idx])
+    match_tf = np.zeros(common.size, dtype=np.int64)
+    for i in range(common.size):
+        cand = pos_per_term[0][i].astype(np.int64)
+        for j in range(1, len(pos_per_term)):
+            cand = np.intersect1d(cand, pos_per_term[j][i].astype(np.int64) - j)
+            if cand.size == 0:
+                break
+        match_tf[i] = cand.size
+    hit = match_tf > 0
+    docs = common[hit].astype(np.int64)
+    if docs.size == 0:
+        return _EMPTY
+    idf_sum = np.float32(0.0)
+    for row in rows:
+        idf_sum = np.float32(
+            idf_sum + bm25.idf(int(row["doc_freq"]), ctx.num_docs)
+        )
+    weight = np.float32(idf_sum * (bm25.K1 + np.float32(1.0)))
+    cache = bm25.norm_cache(ctx.avg_fieldnorm(node.field))
+    scores = bm25.score_tf(match_tf[hit], ctx.norms[node.field][docs], weight, cache)
+    return docs, scores
+
+
+def _and_merge(a, b):
+    docs, ia, ib = np.intersect1d(a[0], b[0], return_indices=True)
+    return docs, (a[1][ia] + b[1][ib]).astype(np.float32)
+
+
+def _or_merge(a, b):
+    docs = np.union1d(a[0], b[0])
+    s = np.zeros(docs.size, dtype=np.float32)
+    s[np.searchsorted(docs, a[0])] += a[1]
+    s[np.searchsorted(docs, b[0])] += b[1]
+    return docs, s.astype(np.float32)
+
+
+def _diff(a, excl_docs):
+    if excl_docs.size == 0 or a[0].size == 0:
+        return a
+    keep = ~np.isin(a[0], excl_docs)
+    return a[0][keep], a[1][keep]
+
+
+def eval_node(ctx: SplitContext, node) -> tuple[np.ndarray, np.ndarray]:
+    """Evaluate any AST node → (sorted doc_ids, float32 scores)."""
+    if isinstance(node, MatchNone):
+        return _EMPTY
+    if isinstance(node, TermQ):
+        return eval_term(ctx, node)
+    if isinstance(node, PhraseQ):
+        return eval_phrase(ctx, node)
+    if isinstance(node, Bool):
+        if node.must:
+            if all(isinstance(c, TermQ) for c in node.must):
+                res = eval_conjunction_terms(ctx, list(node.must))
+            else:
+                res = eval_node(ctx, node.must[0])
+                for c in node.must[1:]:
+                    res = _and_merge(res, eval_node(ctx, c))
+            # optional clauses add score where they match
+            for c in node.should:
+                opt = eval_node(ctx, c)
+                common, ia, ib = np.intersect1d(
+                    res[0], opt[0], return_indices=True
+                )
+                scores = res[1].copy()
+                scores[ia] = (scores[ia] + opt[1][ib]).astype(np.float32)
+                res = (res[0], scores)
+        elif node.should:
+            res = eval_node(ctx, node.should[0])
+            for c in node.should[1:]:
+                res = _or_merge(res, eval_node(ctx, c))
+        else:
+            return _EMPTY  # pure negation matches nothing
+        for c in node.must_not:
+            excl = eval_node(ctx, c)[0]
+            res = _diff(res, excl)
+        return res
+    raise TypeError(f"unknown AST node {node!r}")
+
+
+def evaluate_split(
+    ctx: SplitContext,
+    ast,
+    k: int,
+    start_micros: int | None = None,
+    end_micros: int | None = None,
+    apply_ts_filter: bool = True,
+    sort_field: str | None = None,
+    sort_values: np.ndarray | None = None,
+    sort_asc: bool = False,
+    emit_all: bool = False,
+) -> tuple[np.ndarray, np.ndarray, int]:
+    """Full per-split evaluation → (top doc_ids, sort values,
+    num_hits).
+
+    ``sort_field=None`` sorts by BM25 score desc; otherwise by the
+    provided per-doc ``sort_values`` (fast field), asc or desc —
+    the reference's SortBy (sort_by.rs:80-113). ``emit_all`` returns
+    every matching doc (search_stream / aggregations path).
+    """
+    # single bare term: block-max fast path
+    if (
+        isinstance(ast, TermQ)
+        and not emit_all
+        and sort_field is None
+        and (not apply_ts_filter or (start_micros is None and end_micros is None))
+    ):
+        return _topk_single_term(ctx, ast, k)
+    docs, scores = eval_node(ctx, ast)
+    if apply_ts_filter and (start_micros is not None or end_micros is not None):
+        if ctx.ts is None:
+            raise ValueError("timestamp filter requested but no ts fast field")
+        tvals = ctx.ts[docs]
+        mask = np.ones(docs.size, dtype=bool)
+        if start_micros is not None:
+            mask &= tvals >= start_micros
+        if end_micros is not None:
+            mask &= tvals < end_micros
+        docs, scores = docs[mask], scores[mask]
+    num_hits = int(docs.size)
+    if sort_field is not None:
+        vals = sort_values[docs].astype(np.float64)
+        order_key = vals if sort_asc else -vals
+    else:
+        vals = scores.astype(np.float64)
+        order_key = -vals
+    if emit_all:
+        order = np.lexsort((docs, order_key))
+        return docs[order], vals[order], num_hits
+    order = np.lexsort((docs, order_key))[:k]
+    return docs[order], vals[order], num_hits
+
+
+def _topk_single_term(
+    ctx: SplitContext, node: TermQ, k: int
+) -> tuple[np.ndarray, np.ndarray, int]:
+    """Block-max top-k for one term: skip blocks whose upper bound
+    can't enter the heap. num_hits == doc_freq stays exact."""
+    row = ctx.postings.get((node.field, node.term))
+    if row is None:
+        return np.empty(0, np.int64), np.empty(0, np.float64), 0
+    df = int(row["doc_freq"])
+    weight = bm25.term_weight(df, ctx.num_docs)
+    cache = bm25.norm_cache(ctx.avg_fieldnorm(node.field))
+    norms = ctx.norms[node.field]
+    present = np.unique(norms) if norms.size else np.array([0], dtype=np.uint8)
+    cache_min = np.float32(cache[present].min())
+    skip = decode_skip(row["skip_bytes"])
+    ub = bm25.block_max_score(skip[:, 1], weight, cache_min)
+    # decode blocks in descending upper-bound order, stop when the
+    # current threshold (k-th best) exceeds every remaining bound
+    order = np.argsort(-ub, kind="stable")
+    best_docs = np.empty(0, dtype=np.int64)
+    best_scores = np.empty(0, dtype=np.float32)
+    threshold = -np.inf
+    for b in order:
+        if best_docs.size >= k and ub[b] < threshold:
+            break
+        mask = np.zeros(skip.shape[0], dtype=bool)
+        mask[b] = True
+        d, t = decode_blocks(row["doc_bytes"], row["tf_bytes"], skip, mask)
+        d = d.astype(np.int64)
+        s = bm25.score_tf(t, norms[d], weight, cache)
+        best_docs = np.concatenate([best_docs, d])
+        best_scores = np.concatenate([best_scores, s])
+        sel = np.lexsort((best_docs, -best_scores.astype(np.float64)))[:k]
+        best_docs, best_scores = best_docs[sel], best_scores[sel]
+        if best_docs.size >= k:
+            threshold = float(best_scores.min())
+    return best_docs, best_scores.astype(np.float64), df

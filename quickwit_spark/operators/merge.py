@@ -1,0 +1,226 @@
+"""Split merging — the shuffle + re-aggregate tier.
+
+Two jobs (reference: quickwit-indexing actors/merge_executor.rs,
+SURVEY.md §2.5):
+
+- :func:`merge_partial_postings` — second phase of the salted build:
+  partial posting encodes of doc-id chunks of the same term are
+  re-merged by concatenation + re-gapping (the chunks cover disjoint
+  ascending doc ranges, so a decode → concat → encode per term is a
+  k-way merge of sorted runs).
+- :func:`merge_splits` — compaction: k published splits → 1. Doc ids
+  are re-based by the cumulative doc counts of the inputs in
+  ascending split-id order (merge_executor.rs:271-335 re-bases via
+  tantivy segment merge; ours is arithmetic), postings re-merged per
+  term, docmap/fastfields concatenated, and the output split
+  atomically replaces its inputs in the metastore
+  (publish-with-replace semantics, publisher.rs:94-105).
+"""
+
+from __future__ import annotations
+
+import os
+import time
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from quickwit_spark.operators.codec import (
+    decode_posting_list,
+    decode_positions,
+    encode_posting_list,
+)
+from quickwit_spark.plans.metastore import Metastore, SplitMetadata
+
+POSTINGS_SCHEMA = (
+    "split_id int, field string, term string, doc_freq long, total_tf long, "
+    "doc_bytes binary, tf_bytes binary, skip_bytes binary, pos_bytes binary"
+)
+
+
+def _merge_term_rows(pdf: pd.DataFrame, rebase: dict[int, int] | None) -> pd.DataFrame:
+    """Merge posting chunks row-group: input rows are partial lists of
+    the same (field, term) — or of multiple terms — each covering a
+    disjoint doc range (after optional re-basing)."""
+    out_rows = []
+    target_sid = int(pdf["out_split"].iloc[0]) if "out_split" in pdf.columns else int(
+        pdf["split_id"].iloc[0]
+    )
+    for (field, term), grp in pdf.groupby(["field", "term"], sort=True):
+        docs_parts, tfs_parts, pos_parts = [], [], []
+        any_pos = grp["pos_bytes"].notna().any()
+        for _, r in grp.iterrows():
+            docs, tfs = decode_posting_list(
+                r["doc_bytes"], r["tf_bytes"], int(r["doc_freq"])
+            )
+            docs = docs.astype(np.int64)
+            if rebase is not None:
+                docs = docs + rebase[int(r["split_id"])]
+            docs_parts.append(docs)
+            tfs_parts.append(tfs)
+            if any_pos:
+                pos_parts.append(
+                    decode_positions(r["pos_bytes"], tfs)
+                    if r["pos_bytes"] is not None
+                    else [np.empty(0, np.uint64)] * len(docs)
+                )
+        order = np.argsort([int(d[0]) for d in docs_parts], kind="stable")
+        docs = np.concatenate([docs_parts[i] for i in order])
+        tfs = np.concatenate([tfs_parts[i] for i in order])
+        positions = None
+        if any_pos:
+            positions = []
+            for i in order:
+                positions.extend(pos_parts[i])
+        enc = encode_posting_list(docs.astype(np.uint64), tfs, positions)
+        out_rows.append(
+            (
+                target_sid, field, term, int(docs.size), int(tfs.sum()),
+                enc["doc_bytes"], enc["tf_bytes"], enc["skip_bytes"],
+                enc.get("pos_bytes"),
+            )
+        )
+    return pd.DataFrame(
+        out_rows,
+        columns=[
+            "split_id", "field", "term", "doc_freq", "total_tf",
+            "doc_bytes", "tf_bytes", "skip_bytes", "pos_bytes",
+        ],
+    )
+
+
+def merge_partial_postings(encoded: DataFrame, term_buckets: int) -> DataFrame:
+    """Phase-2 of the salted build: re-merge doc-chunk partials."""
+    bucketed = encoded.withColumn(
+        "bucket", F.pmod(F.xxhash64("term"), F.lit(term_buckets))
+    )
+    return (
+        bucketed.groupBy("split_id", "bucket")
+        .applyInPandas(lambda pdf: _merge_term_rows(pdf, rebase=None), POSTINGS_SCHEMA)
+    )
+
+
+def merge_splits(
+    spark: SparkSession,
+    index_dir: str,
+    split_ids: list[str],
+    term_buckets: int | None = None,
+) -> SplitMetadata:
+    """Merge k published splits into one new split (compaction op)."""
+    ms = Metastore(index_dir)
+    config = ms.config()
+    metas = {s.split_id: s for s in ms.list_published()}
+    inputs = [metas[sid] for sid in split_ids]
+    if len(inputs) < 2:
+        raise ValueError("need >= 2 splits to merge")
+    if term_buckets is None:
+        term_buckets = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+
+    in_ids = sorted(int(s.split_id) for s in inputs)
+    new_sid = max(int(s.split_id) for s in ms.splits()) + 1
+    rebase, acc = {}, 0
+    for sid in in_ids:
+        rebase[sid] = acc
+        acc += metas[str(sid)].num_docs
+
+    # ---- postings: decode → re-base → k-way merge per term ----
+    postings = (
+        spark.read.parquet(ms.postings_dir())
+        .filter(F.col("split_id").isin(in_ids))
+        .withColumn("out_split", F.lit(new_sid))
+        .withColumn("bucket", F.pmod(F.xxhash64("term"), F.lit(term_buckets)))
+    )
+    merged = postings.groupBy("bucket").applyInPandas(
+        lambda pdf: _merge_term_rows(pdf, rebase=rebase), POSTINGS_SCHEMA
+    )
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    (
+        merged.repartition("split_id")
+        .sortWithinPartitions("field", "term")
+        .write.partitionBy("split_id")
+        .mode("overwrite")
+        .parquet(ms.postings_dir())
+    )
+
+    # ---- docmap: re-base + move under the new split ----
+    rebase_expr = F.col("doc_id")
+    for sid in in_ids:
+        rebase_expr = F.when(
+            F.col("split_id") == sid, F.col("doc_id") + F.lit(rebase[sid])
+        ).otherwise(rebase_expr)
+    docmap = (
+        spark.read.parquet(ms.docmap_dir())
+        .filter(F.col("split_id").isin(in_ids))
+        .withColumn("doc_id", rebase_expr)
+        .withColumn("split_id", F.lit(new_sid))
+    )
+    (
+        docmap.repartition("split_id")
+        .sortWithinPartitions("doc_id")
+        .write.partitionBy("split_id")
+        .mode("overwrite")
+        .parquet(ms.docmap_dir())
+    )
+
+    # ---- fastfields: concatenate blobs in split order ----
+    ff = (
+        spark.read.parquet(os.path.join(ms.index_dir, "fastfields"))
+        .filter(F.col("split_id").isin(in_ids))
+    )
+    order_map = {sid: i for i, sid in enumerate(in_ids)}
+
+    def _concat(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("split_id", key=lambda s: s.map(order_map))
+        return pd.DataFrame(
+            {
+                "split_id": [new_sid],
+                "name": [pdf["name"].iloc[0]],
+                "data": [b"".join(pdf["data"])],
+            }
+        )
+
+    ff_merged = ff.groupBy("name").applyInPandas(
+        _concat, "split_id int, name string, data binary"
+    )
+    (
+        ff_merged.write.partitionBy("split_id")
+        .mode("overwrite")
+        .parquet(os.path.join(ms.index_dir, "fastfields"))
+    )
+
+    # ---- metadata union + atomic replace ----
+    tr = None
+    ranges = [m.time_range for m in inputs if m.time_range]
+    if ranges:
+        tr = (min(r[0] for r in ranges), max(r[1] for r in ranges))
+    tags: dict[str, list[str]] = {}
+    for fld in config.tag_fields:
+        vals = set()
+        missing = False
+        for m in inputs:
+            if fld in m.tags:
+                vals |= set(m.tags[fld])
+            else:
+                missing = True
+        if not missing and len(vals) <= config.tag_cardinality_limit:
+            tags[fld] = sorted(vals)
+    total_tokens: dict[str, int] = {}
+    for m in inputs:
+        for f, v in m.total_tokens.items():
+            total_tokens[f] = total_tokens.get(f, 0) + v
+    meta = SplitMetadata(
+        split_id=str(new_sid),
+        num_docs=sum(m.num_docs for m in inputs),
+        total_tokens=total_tokens,
+        time_range=tr,
+        tags=tags,
+        merge_ops=max(m.merge_ops for m in inputs) + 1,
+        lineage={"merged_from": [s.split_id for s in inputs], "ts": time.time()},
+    )
+    ms.stage_splits([meta])
+    ms.publish_splits(
+        [meta.split_id], replaced_split_ids=[s.split_id for s in inputs]
+    )
+    return meta

@@ -1,0 +1,300 @@
+"""Distributed search: the root/leaf lifecycle as Spark stages.
+
+Reference lifecycle (SURVEY.md §3.1): root parses + prunes splits →
+leaf per split opens the needed posting lists + fast fields only →
+per-segment heap top-k → leaf/root merges → fetch-docs join. Here:
+
+- driver parses the query and prunes splits from the metastore
+  (plans/pruning.py) — no data touched;
+- one Spark scan reads ONLY the pruned splits' partitions of the
+  postings table, filtered to the query's (field, term) pairs —
+  partition pruning + predicate pushdown on the term-sorted Parquet
+  give the reference's "exact-needed-bytes" warmup (leaf.rs:125-195)
+  for free;
+- a cogrouped ``applyInPandas`` over (postings, fastfields) per
+  split runs the numpy evaluator (operators/eval.py): per-split
+  top-(k+offset) heap + exact num_hits;
+- the global merge is ``ORDER BY score DESC, split_id, doc_id LIMIT
+  k+offset`` — Spark's TakeOrderedAndProject, one tiny shuffle
+  (collector.rs:306-398 / root.rs:305-320 pagination folding);
+- hit materialization broadcast-joins the top-k keys back to the
+  docmap (fetch_docs.rs:97-125 analogue).
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from quickwit_spark.operators.eval import SplitContext, evaluate_split
+from quickwit_spark.plans.metastore import Metastore
+from quickwit_spark.plans.parser import parse_query, query_terms, resolve_query
+from quickwit_spark.plans.pruning import prune_splits, split_fully_inside
+
+HITS_SCHEMA = "split_id int, doc_id long, score double, split_num_hits long"
+
+
+def _to_micros(ts) -> int | None:
+    if ts is None:
+        return None
+    if isinstance(ts, (int, np.integer)):
+        return int(ts)
+    return int(pd.Timestamp(ts).value // 1000)
+
+
+@dataclass
+class SearchRequest:
+    query: str
+    k: int = 20  # reference default max hits (rest_handler.rs:44-46)
+    offset: int = 0
+    start_ts: object = None
+    end_ts: object = None
+    search_fields: tuple[str, ...] | None = None
+    sort_field: str | None = None
+    sort_asc: bool = False
+
+
+def _split_infos(splits, config, start_micros, end_micros):
+    return {
+        int(s.split_id): {
+            "num_docs": s.num_docs,
+            "total_tokens": s.total_tokens,
+            "inside": split_fully_inside(s.time_range, start_micros, end_micros),
+        }
+        for s in splits
+    }
+
+
+def _scan_inputs(
+    spark: SparkSession,
+    ms: Metastore,
+    ast,
+    split_ids: list[int],
+    need_ts: str | None,
+    extra_ff: list[str] = (),
+):
+    """Pruned scans of postings + fastfields for the query."""
+    terms = query_terms(ast)
+    fields = sorted({t.field for t in terms})
+    term_strs = sorted({t.term for t in terms})
+    postings = (
+        spark.read.parquet(ms.postings_dir())
+        .filter(F.col("split_id").isin(split_ids))
+        .filter(F.col("field").isin(fields) & F.col("term").isin(term_strs))
+    )
+    ff_names = [f"norm_{f}" for f in fields]
+    if need_ts:
+        ff_names.append(f"ts_{need_ts}")
+    ff_names += list(extra_ff)
+    fastfields = (
+        spark.read.parquet(os.path.join(ms.index_dir, "fastfields"))
+        .filter(F.col("split_id").isin(split_ids))
+        .filter(F.col("name").isin(ff_names))
+    )
+    return postings, fastfields
+
+
+def _make_evaluator(
+    ast,
+    infos: dict,
+    k: int,
+    start_micros,
+    end_micros,
+    ts_name: str | None,
+    sort_field: str | None,
+    sort_asc: bool,
+    emit_all: bool,
+):
+    """Closure run per split by applyInPandas (numpy inside)."""
+
+    def evaluate(key, postings_pdf: pd.DataFrame, ff_pdf: pd.DataFrame) -> pd.DataFrame:
+        sid = int(key[0])
+        info = infos.get(sid)
+        if info is None or len(ff_pdf) == 0:
+            return pd.DataFrame(
+                columns=["split_id", "doc_id", "score", "split_num_hits"]
+            )
+        norms = {}
+        ts_arr = None
+        sort_vals = None
+        for _, r in ff_pdf.iterrows():
+            name, data = r["name"], r["data"]
+            if name.startswith("norm_"):
+                norms[name[5:]] = np.frombuffer(data, dtype=np.uint8)
+            elif ts_name and name == f"ts_{ts_name}":
+                ts_arr = np.frombuffer(data, dtype=np.int64)
+            if sort_field and name == sort_field:
+                sort_vals = np.frombuffer(
+                    data, dtype=np.int64 if name.startswith("ts_") else np.uint8
+                )
+        post = {}
+        for _, r in postings_pdf.iterrows():
+            post[(r["field"], r["term"])] = {
+                "doc_freq": r["doc_freq"],
+                "doc_bytes": r["doc_bytes"],
+                "tf_bytes": r["tf_bytes"],
+                "skip_bytes": r["skip_bytes"],
+                "pos_bytes": r["pos_bytes"],
+            }
+        ctx = SplitContext(
+            num_docs=info["num_docs"],
+            total_tokens=info["total_tokens"],
+            postings=post,
+            norms=norms,
+            ts=ts_arr,
+        )
+        docs, vals, num_hits = evaluate_split(
+            ctx,
+            ast,
+            k,
+            start_micros,
+            end_micros,
+            apply_ts_filter=not info["inside"],
+            sort_field=sort_field,
+            sort_values=sort_vals,
+            sort_asc=sort_asc,
+            emit_all=emit_all,
+        )
+        return pd.DataFrame(
+            {
+                "split_id": np.full(docs.size, sid, dtype=np.int32),
+                "doc_id": docs.astype(np.int64),
+                "score": vals.astype(np.float64),
+                "split_num_hits": np.full(docs.size, num_hits, dtype=np.int64),
+            }
+        )
+
+    return evaluate
+
+
+def _evaluate(
+    spark: SparkSession,
+    index_dir: str,
+    req: SearchRequest,
+    emit_all: bool,
+) -> tuple[DataFrame | None, object, Metastore]:
+    """Shared plan: prune → scan → per-split evaluate. Returns the
+    per-split hits DataFrame (None when all splits pruned)."""
+    ms = Metastore(index_dir)
+    config = ms.config()
+    ast = resolve_query(parse_query(req.query), config, req.search_fields)
+    start_micros = _to_micros(req.start_ts)
+    end_micros = _to_micros(req.end_ts)
+    splits = prune_splits(
+        ms.list_published(), config, ast, start_micros, end_micros
+    )
+    if not splits:
+        return None, ast, ms
+    sids = [int(s.split_id) for s in splits]
+    need_ts = config.timestamp_field if (
+        start_micros is not None or end_micros is not None
+    ) else None
+    sort_field = req.sort_field
+    if sort_field is not None:
+        if sort_field == config.timestamp_field:
+            sort_field = f"ts_{sort_field}"
+        extra = [sort_field]
+    else:
+        extra = []
+    postings, fastfields = _scan_inputs(spark, ms, ast, sids, need_ts, extra)
+    infos = _split_infos(splits, config, start_micros, end_micros)
+    evaluator = _make_evaluator(
+        ast,
+        infos,
+        req.k + req.offset,
+        start_micros,
+        end_micros,
+        config.timestamp_field,
+        sort_field,
+        req.sort_asc,
+        emit_all,
+    )
+    hits = (
+        postings.groupBy("split_id")
+        .cogroup(fastfields.groupBy("split_id"))
+        .applyInPandas(evaluator, HITS_SCHEMA)
+    )
+    return hits, ast, ms
+
+
+def search_df(spark: SparkSession, index_dir: str, req: SearchRequest) -> DataFrame:
+    """Top-k hits as (split_id, doc_id, score), globally ordered with
+    pagination applied."""
+    hits, _, _ = _evaluate(spark, index_dir, req, emit_all=False)
+    if hits is None:
+        return spark.createDataFrame([], "split_id int, doc_id long, score double")
+    asc = req.sort_asc and req.sort_field is not None
+    score_order = F.col("score").asc() if asc else F.col("score").desc()
+    ordered = hits.select("split_id", "doc_id", "score").orderBy(
+        score_order, F.col("split_id").asc(), F.col("doc_id").asc()
+    )
+    limited = ordered.limit(req.k + req.offset)
+    if req.offset:
+        w = Window.orderBy(score_order, F.col("split_id").asc(), F.col("doc_id").asc())
+        limited = (
+            limited.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") > req.offset)
+            .drop("_rn")
+        )
+    return limited
+
+
+def count_hits(spark: SparkSession, index_dir: str, req: SearchRequest) -> int:
+    """Exact num_hits (collector.rs:189 semantics)."""
+    hits, _, _ = _evaluate(
+        spark, index_dir, SearchRequest(**{**vars(req), "k": 1}), emit_all=False
+    )
+    if hits is None:
+        return 0
+    row = (
+        hits.groupBy("split_id")
+        .agg(F.max("split_num_hits").alias("h"))
+        .agg(F.sum("h").alias("total"))
+        .collect()[0]
+    )
+    return int(row["total"] or 0)
+
+
+def matches_df(spark: SparkSession, index_dir: str, req: SearchRequest) -> DataFrame:
+    """ALL matching docs (split_id, doc_id, score) — the
+    search_stream / aggregation input (no top-k)."""
+    hits, _, _ = _evaluate(spark, index_dir, req, emit_all=True)
+    if hits is None:
+        return spark.createDataFrame([], "split_id int, doc_id long, score double")
+    return hits.select("split_id", "doc_id", "score")
+
+
+def fetch_docs(
+    spark: SparkSession,
+    index_dir: str,
+    hits: DataFrame,
+    columns: list[str] | None = None,
+) -> DataFrame:
+    """Materialize hits by broadcast semi-joining their keys back to
+    the docmap (fetch_docs.rs analogue)."""
+    ms = Metastore(index_dir)
+    docmap = spark.read.parquet(ms.docmap_dir())
+    if columns:
+        docmap = docmap.select("split_id", "doc_id", *columns)
+    return docmap.join(F.broadcast(hits), ["split_id", "doc_id"], "inner")
+
+
+def search(
+    spark: SparkSession,
+    index_dir: str,
+    query: str,
+    k: int = 20,
+    **kwargs,
+) -> DataFrame:
+    """Convenience: top-k search with materialized doc keys."""
+    req = SearchRequest(query=query, k=k, **kwargs)
+    hits = search_df(spark, index_dir, req)
+    out = fetch_docs(spark, index_dir, hits)
+    asc = req.sort_asc and req.sort_field is not None
+    score_order = F.col("score").asc() if asc else F.col("score").desc()
+    return out.orderBy(score_order, F.col("split_id").asc(), F.col("doc_id").asc())

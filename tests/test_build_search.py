@@ -1,0 +1,97 @@
+"""End-to-end: Spark index build + search vs the pure-Python oracle.
+
+The engine contract under test (BASELINE.json north_star): top-k doc
+ids AND float32 BM25 scores are rank-identical / bit-identical to the
+naive reference implementation, across term, boolean, phrase,
+field-scoped, time-filtered, and paginated queries.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from quickwit_spark.operators.search import (
+    SearchRequest,
+    count_hits,
+    matches_df,
+    search_df,
+)
+
+# corpus vocabulary: _TOP_WORDS (the, of, hot, word, one, ...) +
+# syllable words; every non-negated query below MUST match something
+QUERIES = [
+    "the",
+    "hot",
+    "word one",
+    "hot AND word AND one",
+    "hot OR word",
+    "word -hot",
+    "word NOT hot",
+    '"of the"',
+    "qw_marker_1",
+    "lang:de the",
+    "+word +one -hot",
+    "(hot OR word) one",
+    "bababa OR the",
+]
+
+
+def _spark_hits(spark, built_index, query, k=10, **kw):
+    req = SearchRequest(query=query, k=k, **kw)
+    rows = search_df(spark, built_index, req).collect()
+    return [(r["split_id"], r["doc_id"], r["score"]) for r in rows]
+
+
+@pytest.mark.parametrize("query", QUERIES)
+def test_topk_matches_oracle(spark, built_index, oracle_index, query):
+    got = _spark_hits(spark, built_index, query, k=10)
+    want = oracle_index.search(query, k=10)
+    assert want, f"dead test: oracle found nothing for {query!r}"
+    assert [(g[0], g[1]) for g in got] == [(w[0], w[1]) for w in want], query
+    np.testing.assert_array_equal(
+        np.array([g[2] for g in got], dtype=np.float32),
+        np.array([w[2] for w in want], dtype=np.float32),
+    )
+
+
+@pytest.mark.parametrize("query", ["the", "word hot", '"of the"'])
+def test_count_matches_oracle(spark, built_index, oracle_index, query):
+    assert count_hits(
+        spark, built_index, SearchRequest(query=query)
+    ) == oracle_index.count(query)
+
+
+def test_time_filtered_search(spark, built_index, oracle_index):
+    start, end = "2021-03-05", "2021-03-20"
+    got = _spark_hits(spark, built_index, "word", k=10, start_ts=start, end_ts=end)
+    want = oracle_index.search("word", k=10, start_ts=start, end_ts=end)
+    assert [(g[0], g[1]) for g in got] == [(w[0], w[1]) for w in want]
+    assert count_hits(
+        spark, built_index, SearchRequest(query="word", start_ts=start, end_ts=end)
+    ) == oracle_index.count("word", start_ts=start, end_ts=end)
+
+
+def test_pagination_offset(spark, built_index, oracle_index):
+    full = oracle_index.search("word", k=15)
+    got = _spark_hits(spark, built_index, "word", k=5, offset=5)
+    assert [(g[0], g[1]) for g in got] == [(w[0], w[1]) for w in full[5:10]]
+
+
+def test_matches_df_is_exhaustive(spark, built_index, oracle_index):
+    n = matches_df(spark, built_index, SearchRequest(query="word one")).count()
+    assert n == oracle_index.count("word one")
+
+
+def test_marker_exact_hit(spark, built_index, oracle_index):
+    got = _spark_hits(spark, built_index, "qw_marker_2", k=5)
+    want = oracle_index.search("qw_marker_2", k=5)
+    assert len(got) == 1 and [(g[0], g[1]) for g in got] == [
+        (w[0], w[1]) for w in want
+    ]
+
+
+def test_search_fields_override(spark, built_index, oracle_index):
+    got = _spark_hits(spark, built_index, "en", k=10, search_fields=("lang",))
+    want = oracle_index.search("en", k=10, search_fields=("lang",))
+    assert [(g[0], g[1]) for g in got] == [(w[0], w[1]) for w in want]
