@@ -1,0 +1,126 @@
+"""Benchmark harness — prints ONE JSON line for the driver.
+
+Measures the engine's headline numbers (BASELINE.md §c):
+- index-build throughput (docs/sec) over the deterministic synthetic
+  web-page corpus (the fulltext workload; driver sf tables are
+  generic TPC-H-ish),
+- BM25 top-10 query latency p50 per query shape over the built
+  index,
+- representative training-data ops (minhash dedup, cosine ANN) on
+  the driver-provided sf tables.
+
+Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
+SPARK_GRAFT_CPUS (default all), QWS_BENCH_DOCS (corpus size,
+default 50000).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import statistics
+import sys
+import tempfile
+import time
+
+from pyspark.sql import functions as F
+
+from quickwit_spark.operators.build import build_index
+from quickwit_spark.operators.search import SearchRequest, search_df
+from quickwit_spark.plans.config import webpages_config
+from quickwit_spark.session import get_spark
+from quickwit_spark.sources.corpus import webpages_df
+from quickwit_spark.sources.extract import with_extracted_text
+
+SEARCHES = {
+    "q_term": "word",
+    "q_term_stop": "the",
+    "q_and": "hot word",
+    "q_or": "hot OR word OR one",
+    "q_phrase": '"of the"',
+    "q_tag_and": "lang:de the",
+    "q_rare": "qw_marker_7",
+}
+
+
+def p50(fn, runs: int = 3) -> float:
+    times = []
+    for _ in range(runs):
+        t0 = time.time()
+        fn()
+        times.append(time.time() - t0)
+    return statistics.median(times)
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS")
+    n_docs = int(os.environ.get("QWS_BENCH_DOCS", "50000"))
+    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else 0.0
+
+    spark = get_spark("bench", cores=int(cpus) if cpus else None)
+    index_dir = tempfile.mkdtemp(prefix="qws_bench_idx_")
+    t_total0 = time.time()
+    queries: dict[str, float] = {}
+
+    try:
+        # ---- index build (extraction + tokenize + encode + publish) ----
+        pages = with_extracted_text(webpages_df(spark, n_docs, seed=42).drop("text"))
+        t0 = time.time()
+        metas = build_index(
+            spark, pages, index_dir, webpages_config(), num_splits=8
+        )
+        build_secs = time.time() - t0
+        built_docs = sum(m.num_docs for m in metas)
+        queries["index_build"] = round(build_secs, 3)
+
+        # ---- BM25 top-10 latency p50 ----
+        for name, qstr in SEARCHES.items():
+            req = SearchRequest(query=qstr, k=10)
+            queries[name] = round(
+                p50(lambda: search_df(spark, index_dir, req).collect()), 3
+            )
+
+        # ---- training-data ops on driver sf tables ----
+        docs_path = os.path.join(sf_dir, "documents.parquet")
+        if os.path.exists(docs_path):
+            from quickwit_spark.functions import dedup, similarity
+
+            d = spark.read.parquet(docs_path)
+
+            def run_minhash():
+                sigs = dedup.minhash_signatures(d, num_hashes=12, k=3)
+                dedup.lsh_candidate_pairs(sigs).count()
+
+            queries["dedup_minhash_lsh"] = round(p50(run_minhash, runs=1), 3)
+
+            e = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+            qvec = e.limit(1).collect()[0]["embedding"]
+
+            def run_ann():
+                similarity.cosine_topk(e, qvec, k=10).collect()
+
+            queries["ann_cosine_topk"] = round(p50(run_ann), 3)
+
+        total = time.time() - t_total0
+        print(
+            json.dumps(
+                {
+                    "metric": "bench_total_wall",
+                    "value": round(total, 3),
+                    "unit": "sec",
+                    "queries": queries,
+                    "sf": sf,
+                    "build_docs_per_sec": round(built_docs / build_secs, 1),
+                    "built_docs": built_docs,
+                    "cpus": cpus or "all",
+                }
+            )
+        )
+    finally:
+        shutil.rmtree(index_dir, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,11 @@
+"""Large-scale training-data pipeline operators: text analysis,
+deduplication, similarity search, multimodal plumbing.
+
+These extend the reference's capabilities (SURVEY.md §2) with the
+operations a web-scale corpus pipeline needs before indexing:
+language ID, quality scoring, token counting, fingerprinting, exact
+and near-duplicate detection (MinHash-LSH / SimHash / n-gram
+Jaccard), embedding similarity search, and opaque-binary multimodal
+column handling. All deterministic (md5-keyed hashing) so every
+operator has an exact SQL oracle.
+"""

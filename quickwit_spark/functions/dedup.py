@@ -1,0 +1,213 @@
+"""Deduplication: exact, MinHash+LSH, n-gram Jaccard, SimHash.
+
+Scale design (the point of each operator at 10^12 docs):
+
+- exact: one hash-groupBy on md5(normalized text) — Spark partial
+  agg + AQE handle skew; no pairwise work.
+- MinHash+LSH: per-doc signatures are H independent min-aggregations
+  over shingle hashes (all JVM expressions); candidate pairs come
+  from a self-join on (band_id, band_hash) — the only shuffle is on
+  band keys, never all-pairs. Hash = md5 hex prefix, so a SQL oracle
+  reproduces signatures exactly.
+- n-gram Jaccard: exact verification for candidate pairs (or small
+  corpora): shingle-set self-join, |∩| by count, |∪| by inclusion-
+  exclusion. Quadratic only within matching shingles.
+- SimHash: 32-bit sign-sum sketch over token hashes; near pairs
+  bucket by 16-bit halves (pigeonhole over the hamming budget).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from quickwit_spark.functions.textstats import tokens_col
+
+
+def normalized_text(col: Column) -> Column:
+    return F.array_join(tokens_col(col), " ")
+
+
+def exact_dup_groups(
+    df: DataFrame, text_col: str = "text", key_col: str = "doc_id"
+) -> DataFrame:
+    """(key, content_hash, group_size, is_canonical): canonical = min
+    key per identical-content group; drop non-canonicals to dedup."""
+    from pyspark.sql import Window
+
+    h = F.md5(normalized_text(F.col(text_col)))
+    w = Window.partitionBy("content_hash")
+    return (
+        df.select(F.col(key_col).alias("key"), h.alias("content_hash"))
+        .withColumn("group_size", F.count("*").over(w))
+        .withColumn("is_canonical", F.col("key") == F.min("key").over(w))
+    )
+
+
+def shingle_col(col: Column, k: int = 3) -> Column:
+    """Distinct k-word shingles (space-joined) of the token stream."""
+    toks = tokens_col(col)
+    n = F.size(toks)
+    idx = F.sequence(F.lit(0), F.greatest(n - F.lit(k), F.lit(0)))
+    sh = F.transform(
+        idx, lambda i: F.array_join(F.slice(toks, i + 1, k), " ")
+    )
+    return F.when(n >= k, F.array_distinct(sh)).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def _minhash_expr(i: int) -> Column:
+    # hash_i(shingle) = md5('<i>|' + shingle) hex — min of fixed-width
+    # hex strings == numeric min; identical in any SQL engine with md5
+    return F.min(F.md5(F.concat(F.lit(f"{i}|"), F.col("shingle")))).alias(
+        f"mh_{i}"
+    )
+
+
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    key_col: str = "doc_id",
+    num_hashes: int = 12,
+    k: int = 3,
+) -> DataFrame:
+    """One row per doc: key + num_hashes minhash columns (md5-hex)."""
+    sh = df.select(
+        F.col(key_col).alias("key"),
+        F.explode(shingle_col(F.col(text_col), k)).alias("shingle"),
+    )
+    return sh.groupBy("key").agg(*[_minhash_expr(i) for i in range(num_hashes)])
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame, bands: int = 4, rows_per_band: int = 3
+) -> DataFrame:
+    """Docs sharing ≥1 LSH band → (key_a < key_b) candidate pairs.
+
+    Self-join shuffles only on (band_id, band_hash) — never all
+    pairs. Identical docs collide in every band; near-dups in ≥1
+    with high probability.
+    """
+    band_cols = []
+    for b in range(bands):
+        parts = [F.col(f"mh_{b * rows_per_band + r}") for r in range(rows_per_band)]
+        band_cols.append(
+            F.struct(F.lit(b).alias("band_id"), F.md5(F.concat_ws("|", *parts)).alias("band_hash"))
+        )
+    exploded = signatures.select(
+        "key", F.explode(F.array(*band_cols)).alias("band")
+    ).select("key", "band.band_id", "band.band_hash")
+    a = exploded.alias("a")
+    b = exploded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.key") < F.col("b.key")),
+        )
+        .select(
+            F.col("a.key").alias("key_a"), F.col("b.key").alias("key_b")
+        )
+        .distinct()
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    key_col: str = "doc_id",
+    k: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Exact Jaccard over k-shingle sets for pairs sharing ≥1
+    shingle; emits pairs with jaccard ≥ threshold (rounded 6dp)."""
+    sh = df.select(
+        F.col(key_col).alias("key"),
+        F.explode(shingle_col(F.col(text_col), k)).alias("shingle"),
+    )
+    sizes = sh.groupBy("key").agg(F.count("*").alias("sz"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.key") < F.col("b.key")))
+        .groupBy(F.col("a.key").alias("key_a"), F.col("b.key").alias("key_b"))
+        .agg(F.count("*").alias("n_common"))
+    )
+    sa = sizes.select(F.col("key").alias("key_a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col("key").alias("key_b"), F.col("sz").alias("sz_b"))
+    out = (
+        inter.join(F.broadcast(sa), "key_a")
+        .join(F.broadcast(sb), "key_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("n_common")
+                / (F.col("sz_a") + F.col("sz_b") - F.col("n_common")),
+                6,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("key_a", "key_b", "n_common", "jaccard")
+    )
+    return out
+
+
+def simhash(
+    df: DataFrame, text_col: str = "text", key_col: str = "doc_id", bits: int = 32
+) -> DataFrame:
+    """32-bit SimHash: bit b = sign of Σ_tokens (±1 by bit b of
+    md5(token)). Pure column expressions (conv hex→long + bit ops)."""
+    tok = df.select(
+        F.col(key_col).alias("key"),
+        F.explode(tokens_col(F.col(text_col))).alias("token"),
+    )
+    h = F.conv(F.substring(F.md5("token"), 1, 8), 16, 10).cast("long")
+    tok = tok.withColumn("h", h)
+    aggs = []
+    for b in range(bits):
+        bit = F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1))
+        aggs.append(F.sum(bit * 2 - 1).alias(f"s_{b}"))
+    sums = tok.groupBy("key").agg(*aggs)
+    sig = F.lit(0).cast("long")
+    for b in range(bits):
+        sig = sig + F.when(F.col(f"s_{b}") > 0, F.lit(1 << b)).otherwise(0)
+    return sums.select("key", sig.alias("simhash"))
+
+
+def simhash_near_pairs(sig_df: DataFrame, max_hamming: int = 3) -> DataFrame:
+    """Bucket by 16-bit halves (pigeonhole) then exact hamming
+    filter — near-dup pairs without an all-pairs join."""
+    lo = F.col("simhash").bitwiseAND(F.lit((1 << 16) - 1))
+    hi = F.shiftright(F.col("simhash"), 16).bitwiseAND(F.lit((1 << 16) - 1))
+    parts = sig_df.select(
+        "key",
+        "simhash",
+        F.explode(
+            F.array(
+                F.struct(F.lit(0).alias("which"), lo.alias("half")),
+                F.struct(F.lit(1).alias("which"), hi.alias("half")),
+            )
+        ).alias("p"),
+    ).select("key", "simhash", "p.which", "p.half")
+    a, b = parts.alias("a"), parts.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.which") == F.col("b.which"))
+            & (F.col("a.half") == F.col("b.half"))
+            & (F.col("a.key") < F.col("b.key")),
+        )
+        .select(
+            F.col("a.key").alias("key_a"),
+            F.col("b.key").alias("key_b"),
+            F.col("a.simhash").alias("sh_a"),
+            F.col("b.simhash").alias("sh_b"),
+        )
+        .distinct()
+    )
+    ham = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return cand.withColumn("hamming", ham).filter(
+        F.col("hamming") <= max_hamming
+    ).select("key_a", "key_b", "hamming")

@@ -1,0 +1,168 @@
+"""Similarity search over embedding columns (``array<float>``).
+
+- :func:`cosine_topk` — brute-force cosine top-k against one query
+  vector. Pure column expressions: ``zip_with`` dot product +
+  ``aggregate`` norms, all JVM-side; the scan parallelizes over the
+  table and top-k is a TakeOrdered. The exact baseline.
+- :func:`knn_join` — top-k neighbors for a (small) probe set:
+  broadcast the probes, cross-join, window rank. Probe side must fit
+  in a broadcast (the classic scale shape: small query batch × huge
+  corpus).
+- :func:`rp_lsh_buckets` / :func:`rp_lsh_ann` — the scale path:
+  random-hyperplane LSH. Plane coefficients are derived
+  deterministically (SplitMix64 from a seed), signatures are sign
+  bits of plane dot products, and candidate generation is a bucket
+  join on the signature — shuffle on bucket keys instead of
+  all-pairs. Exact cosine re-ranks within buckets.
+
+Cosine math is float64 over float32 inputs, sequential over the
+array (``aggregate``) — bit-reproducible and matched by the SQL
+oracle's per-element sum.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(
+            a, F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double")
+        )
+    )
+
+
+def cosine_col(a: Column, b: Column) -> Column:
+    return _dot(a, b) / (_norm(a) * _norm(b))
+
+
+def cosine_topk(
+    df: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    vec_col: str = "embedding",
+    key_col: str = "vec_id",
+) -> DataFrame:
+    """Exact top-k by cosine similarity to ``query_vec``."""
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    return (
+        df.select(
+            F.col(key_col).alias("key"),
+            F.round(cosine_col(F.col(vec_col), q), 6).alias("cosine"),
+        )
+        .orderBy(F.col("cosine").desc(), F.col("key").asc())
+        .limit(k)
+    )
+
+
+def knn_join(
+    corpus: DataFrame,
+    probes: DataFrame,
+    k: int = 3,
+    vec_col: str = "embedding",
+    key_col: str = "vec_id",
+) -> DataFrame:
+    """Top-k corpus neighbors per probe row (probe ⨯ corpus with the
+    probe side broadcast; excludes self-matches)."""
+    p = probes.select(
+        F.col(key_col).alias("probe_id"), F.col(vec_col).alias("probe_vec")
+    )
+    c = corpus.select(
+        F.col(key_col).alias("neighbor_id"), F.col(vec_col).alias("nvec")
+    )
+    joined = c.join(F.broadcast(p), F.col("probe_id") != F.col("neighbor_id"))
+    scored = joined.select(
+        "probe_id",
+        "neighbor_id",
+        F.round(cosine_col(F.col("probe_vec"), F.col("nvec")), 6).alias("cosine"),
+    )
+    w = Window.partitionBy("probe_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("probe_id", "neighbor_id", "cosine", "rank")
+    )
+
+
+def _splitmix64_scalar(x: int) -> int:
+    x = (x + 0x9E3779B97F4A7C15) & 0xFFFFFFFFFFFFFFFF
+    x = ((x ^ (x >> 30)) * 0xBF58476D1CE4E5B9) & 0xFFFFFFFFFFFFFFFF
+    x = ((x ^ (x >> 27)) * 0x94D049BB133111EB) & 0xFFFFFFFFFFFFFFFF
+    return x ^ (x >> 31)
+
+
+def random_planes(dim: int, n_planes: int, seed: int = 42) -> np.ndarray:
+    """Deterministic hyperplanes: each coefficient from a SplitMix64
+    counter stream, mapped to [-1, 1)."""
+    out = np.empty((n_planes, dim), dtype=np.float64)
+    for p in range(n_planes):
+        for d in range(dim):
+            h = _splitmix64_scalar(seed * 1_000_003 + p * 65_537 + d)
+            out[p, d] = (h / 2**63) - 1.0
+    return out
+
+
+def rp_lsh_buckets(
+    df: DataFrame,
+    dim: int,
+    n_planes: int = 8,
+    seed: int = 42,
+    vec_col: str = "embedding",
+    key_col: str = "vec_id",
+) -> DataFrame:
+    """(key, bucket): bucket = sign bits of the plane dot products."""
+    planes = random_planes(dim, n_planes, seed)
+    bucket = F.lit(0).cast("long")
+    for p in range(n_planes):
+        plane = F.array(*[F.lit(float(c)) for c in planes[p]])
+        bit = F.when(_dot(F.col(vec_col), plane) >= 0, F.lit(1 << p)).otherwise(0)
+        bucket = bucket + bit
+    return df.select(F.col(key_col).alias("key"), bucket.alias("bucket"))
+
+
+def rp_lsh_ann(
+    df: DataFrame,
+    query_vec: list[float],
+    dim: int,
+    k: int = 10,
+    n_planes: int = 8,
+    seed: int = 42,
+    vec_col: str = "embedding",
+    key_col: str = "vec_id",
+) -> DataFrame:
+    """Approximate top-k: restrict exact cosine to the query's LSH
+    bucket (falls back to fewer than k results when the bucket is
+    small — the standard recall/cost trade)."""
+    planes = random_planes(dim, n_planes, seed)
+    q = np.asarray(query_vec, dtype=np.float64)
+    q_bucket = 0
+    for p in range(n_planes):
+        if float(planes[p] @ q) >= 0:
+            q_bucket |= 1 << p
+    buckets = rp_lsh_buckets(df, dim, n_planes, seed, vec_col, key_col)
+    cand = df.join(
+        buckets.filter(F.col("bucket") == q_bucket),
+        df[key_col] == F.col("key"),
+    ).drop("bucket")
+    qc = F.array(*[F.lit(float(x)) for x in query_vec])
+    return (
+        cand.select(
+            F.col("key"),
+            F.round(cosine_col(F.col(vec_col), qc), 6).alias("cosine"),
+        )
+        .orderBy(F.col("cosine").desc(), F.col("key").asc())
+        .limit(k)
+    )

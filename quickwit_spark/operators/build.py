@@ -260,18 +260,20 @@ def build_index(
     # ---- posting encode (grouped by term-hash bucket; optional
     #      doc-range salt splits hot terms across tasks) ----
     if salt_chunk:
+        # each (term, doc-chunk) partial must cover ONE contiguous doc
+        # range so the phase-2 merge can concatenate by first doc
         tf_rows = tf_rows.withColumn(
-            "bucket",
-            F.pmod(
-                F.xxhash64("term", (F.col("doc_id") / F.lit(salt_chunk)).cast("long")),
-                F.lit(term_buckets),
-            ),
+            "chunk", (F.col("doc_id") / F.lit(salt_chunk)).cast("long")
+        ).withColumn(
+            "bucket", F.pmod(F.xxhash64("term", "chunk"), F.lit(term_buckets))
         )
+        group_cols = ["split_id", "bucket", "chunk"]
     else:
         tf_rows = tf_rows.withColumn(
             "bucket", F.pmod(F.xxhash64("term"), F.lit(term_buckets))
         )
-    encoded = tf_rows.groupBy("split_id", "bucket").applyInPandas(
+        group_cols = ["split_id", "bucket"]
+    encoded = tf_rows.groupBy(*group_cols).applyInPandas(
         lambda pdf: _encode_groups(pdf), POSTINGS_SCHEMA
     )
     if salt_chunk:

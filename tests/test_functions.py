@@ -1,0 +1,203 @@
+"""Training-data pipeline operators: dedup, similarity, textstats,
+multimodal plumbing, aggregations, search_stream."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+
+@pytest.fixture(scope="module")
+def docs_df(spark):
+    pdf = pd.DataFrame(
+        {
+            "doc_id": range(6),
+            "text": [
+                "the quick brown fox jumps over the lazy dog",
+                "the quick brown fox jumps over the lazy dog",  # exact dup
+                "the quick brown fox leaps over the lazy dog",  # near dup
+                "der hund ist nicht auf dem sofa und die katze",
+                "completely different content about spark engines",
+                "",
+            ],
+        }
+    )
+    return spark.createDataFrame(pdf)
+
+
+def test_exact_dup_groups(spark, docs_df):
+    from quickwit_spark.functions.dedup import exact_dup_groups
+
+    rows = {r["key"]: r for r in exact_dup_groups(docs_df).collect()}
+    assert rows[0]["group_size"] == 2 and rows[1]["group_size"] == 2
+    assert rows[0]["is_canonical"] and not rows[1]["is_canonical"]
+    assert rows[2]["group_size"] == 1
+
+
+def test_minhash_lsh_finds_near_dups(spark, docs_df):
+    from quickwit_spark.functions.dedup import (
+        lsh_candidate_pairs,
+        minhash_signatures,
+    )
+
+    sigs = minhash_signatures(docs_df, num_hashes=12, k=3)
+    pairs = {
+        (r["key_a"], r["key_b"])
+        for r in lsh_candidate_pairs(sigs, bands=4, rows_per_band=3).collect()
+    }
+    assert (0, 1) in pairs  # identical docs collide in every band
+    assert (0, 2) in pairs or (1, 2) in pairs  # near dup shares bands
+
+
+def test_ngram_jaccard_exact_values(spark, docs_df):
+    from quickwit_spark.functions.dedup import ngram_jaccard_pairs
+
+    rows = {
+        (r["key_a"], r["key_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(docs_df, k=3, threshold=0.1).collect()
+    }
+    assert rows[(0, 1)] == 1.0
+    # docs 0 and 2 differ in one word: shingle overlap 4/10
+    assert rows[(0, 2)] == pytest.approx(4 / 10, abs=1e-6)
+
+
+def test_simhash_near_pairs(spark, docs_df):
+    from quickwit_spark.functions.dedup import simhash, simhash_near_pairs
+
+    sig = simhash(docs_df)
+    rows = {r["key"]: r["simhash"] for r in sig.collect()}
+    assert rows[0] == rows[1]  # identical docs, identical sketch
+    pairs = {
+        (r["key_a"], r["key_b"]): r["hamming"]
+        for r in simhash_near_pairs(sig, max_hamming=8).collect()
+    }
+    assert pairs[(0, 1)] == 0
+    assert (0, 4) not in pairs or pairs[(0, 4)] > 0
+
+
+def test_textstats(spark, docs_df):
+    from quickwit_spark.functions.textstats import (
+        with_fingerprint,
+        with_language_id,
+        with_quality_score,
+        with_token_counts,
+    )
+
+    tc = {r["doc_id"]: r for r in with_token_counts(docs_df).collect()}
+    assert tc[0]["n_ws_tokens"] == 9 and tc[5]["n_ws_tokens"] == 0
+    lid = {r["doc_id"]: r["lang_pred"] for r in with_language_id(docs_df).collect()}
+    assert lid[0] == "en" and lid[3] == "de" and lid[5] == "und"
+    qs = {r["doc_id"]: r for r in with_quality_score(docs_df).collect()}
+    assert qs[5]["quality"] == 0.0 and qs[0]["quality"] > 0
+    fp = {r["doc_id"]: r["fingerprint"] for r in with_fingerprint(docs_df).collect()}
+    assert fp[0] == fp[1] and fp[0] != fp[2]
+
+
+def test_cosine_topk_and_knn(spark):
+    from quickwit_spark.functions.similarity import cosine_topk, knn_join
+
+    vecs = pd.DataFrame(
+        {
+            "vec_id": range(4),
+            "embedding": [
+                [1.0, 0.0, 0.0],
+                [0.9, 0.1, 0.0],
+                [0.0, 1.0, 0.0],
+                [-1.0, 0.0, 0.0],
+            ],
+        }
+    )
+    df = spark.createDataFrame(vecs)
+    df = df.withColumn("embedding", F.col("embedding").cast("array<float>"))
+    top = cosine_topk(df.filter(F.col("vec_id") != 0), [1.0, 0.0, 0.0], k=2).collect()
+    assert [r["key"] for r in top] == [1, 2]
+    assert top[0]["cosine"] == pytest.approx(0.9 / np.sqrt(0.82), abs=1e-5)
+    knn = knn_join(df, df.filter(F.col("vec_id") == 0), k=2).collect()
+    assert [(r["neighbor_id"], r["rank"]) for r in knn] == [(1, 1), (2, 2)]
+
+
+def test_rp_lsh_ann_subset_of_exact(spark):
+    from quickwit_spark.functions.similarity import (
+        cosine_topk,
+        random_planes,
+        rp_lsh_ann,
+    )
+
+    rng = np.random.default_rng(5)
+    vecs = pd.DataFrame(
+        {
+            "vec_id": range(60),
+            "embedding": [rng.standard_normal(8).tolist() for _ in range(60)],
+        }
+    )
+    df = spark.createDataFrame(vecs).withColumn(
+        "embedding", F.col("embedding").cast("array<float>")
+    )
+    qvec = vecs["embedding"][0]
+    approx = rp_lsh_ann(df, qvec, dim=8, k=5, n_planes=4)
+    rows = approx.collect()
+    assert rows and rows[0]["key"] == 0  # query's own bucket contains it
+    # deterministic planes
+    assert np.allclose(random_planes(8, 4), random_planes(8, 4))
+
+
+def test_multimodal_decode_and_frames(spark, docs_df):
+    from quickwit_spark.functions.multimodal import decode_features, frame_sample
+
+    payloads = docs_df.select(
+        F.col("doc_id").cast("string").alias("key"),
+        F.encode("text", "utf-8").alias("payload"),
+    )
+    feats = decode_features(payloads, feat_dim=4, decode="fake").collect()
+    assert len(feats) == 6
+    by_key = {r["key"]: r for r in feats}
+    assert by_key["0"]["feature"] == by_key["1"]["feature"]  # same bytes
+    assert len(by_key["0"]["feature"]) == 4
+    assert 64 <= by_key["0"]["meta"]["width"] < 128
+    with pytest.raises(Exception, match="NotImplementedError|real media"):
+        decode_features(payloads, decode="real").collect()
+    frames = frame_sample(payloads.filter(F.col("key") == "0"), every_ms=250).collect()
+    assert [r["offset_ms"] for r in frames] == [0] or len(frames) >= 1
+
+
+def test_aggregations_range_and_histogram(spark, built_index, oracle_index):
+    from quickwit_spark.operators.aggregations import run_aggregations
+    from quickwit_spark.operators.search import SearchRequest
+
+    res = run_aggregations(
+        spark,
+        built_index,
+        SearchRequest(query="word"),
+        {
+            "lens": {
+                "range": {
+                    "field": "len_text",
+                    "ranges": [{"to": 100}, {"from": 100, "to": 150}, {"from": 150}],
+                },
+                "aggs": {"avg_len": {"avg": {"field": "len_text"}}},
+            },
+            "hist": {"histogram": {"field": "len_text", "interval": 50}},
+            "overall": {"stats": {"field": "len_text"}},
+        },
+    )
+    total = oracle_index.count("word")
+    assert sum(b["doc_count"] for b in res["lens"]["buckets"]) == total
+    assert sum(b["doc_count"] for b in res["hist"]["buckets"]) == total
+    assert res["overall"]["count"] == total
+    for b in res["lens"]["buckets"]:
+        if b["doc_count"]:
+            assert b["avg_len"]["value"] is not None
+
+
+def test_search_stream(spark, built_index, oracle_index):
+    from quickwit_spark.operators.aggregations import search_stream
+    from quickwit_spark.operators.search import SearchRequest
+
+    out = search_stream(
+        spark, built_index, SearchRequest(query="hot"), "len_text", "lang"
+    )
+    rows = out.collect()
+    assert len(rows) == oracle_index.count("hot")
+    assert set(out.columns) == {"len_text", "lang"}

@@ -1,0 +1,161 @@
+"""Merge correctness + policy math + resume/checkpoint semantics."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from quickwit_spark.operators.build import build_index
+from quickwit_spark.operators.merge import merge_splits
+from quickwit_spark.operators.search import (
+    SearchRequest,
+    count_hits,
+    fetch_docs,
+    matches_df,
+)
+from quickwit_spark.plans.config import IndexConfig, webpages_config
+from quickwit_spark.plans.merge_policy import garbage_collect, plan_merges
+from quickwit_spark.plans.metastore import CheckpointError, Metastore, SplitMetadata
+
+
+@pytest.fixture(scope="module")
+def merged_index(spark, corpus_rows, tmp_path_factory):
+    """Build 4 splits, merge 2 of them; return index_dir."""
+    index_dir = str(tmp_path_factory.mktemp("merge_idx"))
+    df = spark.createDataFrame(pd.DataFrame(corpus_rows))
+    build_index(spark, df, index_dir, webpages_config(), num_splits=4)
+    return index_dir
+
+
+def _match_scores(spark, index_dir, query):
+    """All matching docs as {key: score}."""
+    m = matches_df(spark, index_dir, SearchRequest(query=query))
+    rows = fetch_docs(spark, index_dir, m, columns=["key"]).collect()
+    return {r["key"]: r["score"] for r in rows}
+
+
+QUERIES = ["the", "word hot", "hot OR one", '"of the"', "qw_marker_1"]
+
+
+def test_merge_preserves_matches_and_counts(spark, merged_index):
+    before = {q: _match_scores(spark, merged_index, q) for q in QUERIES}
+    counts_before = {
+        q: count_hits(spark, merged_index, SearchRequest(query=q)) for q in QUERIES
+    }
+    ms = Metastore(merged_index)
+    sids = [s.split_id for s in ms.list_published()][:2]
+    meta = merge_splits(spark, merged_index, sids)
+    published = {s.split_id for s in ms.list_published()}
+    assert meta.split_id in published and not (set(sids) & published)
+
+    for q in QUERIES:
+        after = _match_scores(spark, merged_index, q)
+        assert set(after) == set(before[q]), q
+        assert counts_before[q] == count_hits(
+            spark, merged_index, SearchRequest(query=q)
+        ), q
+
+
+def test_merged_scores_equal_single_split_oracle(spark, corpus_rows, tmp_path_factory):
+    """Merging ALL splits into one must reproduce per-doc scores of a
+    single-split index (BM25 stats unify exactly: N, avgdl, df)."""
+    from quickwit_spark.oracle import OracleIndex
+
+    index_dir = str(tmp_path_factory.mktemp("merge_all"))
+    df = spark.createDataFrame(pd.DataFrame(corpus_rows))
+    build_index(spark, df, index_dir, webpages_config(), num_splits=3)
+    ms = Metastore(index_dir)
+    merge_splits(spark, index_dir, [s.split_id for s in ms.list_published()])
+    oracle1 = OracleIndex(corpus_rows, webpages_config(), num_splits=1)
+
+    for q in ["the", "word hot", '"of the"', "qw_marker_1"]:
+        got = _match_scores(spark, index_dir, q)
+        ast_scores = {}
+        sp = oracle1.splits[0]
+        from quickwit_spark.plans.parser import parse_query, resolve_query
+
+        ast = resolve_query(parse_query(q), oracle1.config)
+        for d, s in oracle1._eval(sp, ast).items():
+            ast_scores[sp.doc_keys[d]] = float(np.float32(s))
+        assert set(got) == set(ast_scores), q
+        for k in got:
+            assert np.float32(got[k]) == np.float32(ast_scores[k]), (q, k)
+
+
+def test_salted_build_produces_identical_postings(spark, corpus_rows, tmp_path_factory):
+    df = spark.createDataFrame(pd.DataFrame(corpus_rows))
+    plain_dir = str(tmp_path_factory.mktemp("plain"))
+    salt_dir = str(tmp_path_factory.mktemp("salted"))
+    build_index(spark, df, plain_dir, webpages_config(), num_splits=2)
+    build_index(
+        spark, df, salt_dir, webpages_config(), num_splits=2, salt_chunk=64
+    )
+    cols = ["split_id", "field", "term", "doc_freq", "total_tf", "doc_bytes", "tf_bytes"]
+    a = {
+        (r["split_id"], r["field"], r["term"]): (r["doc_freq"], r["total_tf"], bytes(r["doc_bytes"]), bytes(r["tf_bytes"]))
+        for r in spark.read.parquet(Metastore(plain_dir).postings_dir()).select(cols).collect()
+    }
+    b = {
+        (r["split_id"], r["field"], r["term"]): (r["doc_freq"], r["total_tf"], bytes(r["doc_bytes"]), bytes(r["tf_bytes"]))
+        for r in spark.read.parquet(Metastore(salt_dir).postings_dir()).select(cols).collect()
+    }
+    assert a == b
+
+
+def test_resume_noop_and_checkpoint_guard(spark, corpus_rows, tmp_path_factory):
+    index_dir = str(tmp_path_factory.mktemp("resume"))
+    df = spark.createDataFrame(pd.DataFrame(corpus_rows))
+    metas = build_index(spark, df, index_dir, webpages_config(), num_splits=2)
+    assert len(metas) == 2
+    assert build_index(spark, df, index_dir, webpages_config(), num_splits=2) == []
+    ms = Metastore(index_dir)
+    with pytest.raises(CheckpointError):
+        ms.publish_splits(
+            ["0"], source_id="default", checkpoint_delta={"0": "docs:" + "0" * 20}
+        )
+
+
+def test_merge_policy_levels():
+    cfg = IndexConfig(
+        fields=(),
+        split_num_docs_target=10_000_000,
+        merge_factor=10,
+        max_merge_factor=12,
+        min_level_num_docs=100_000,
+    )
+    young = [
+        SplitMetadata(split_id=str(i), num_docs=50_000, time_range=(0, i))
+        for i in range(25)
+    ]
+    ops = plan_merges(young, cfg)
+    assert len(ops) == 2 and len(ops[0]) == 12 and len(ops[1]) == 12
+    # mature splits never planned
+    mature = [
+        SplitMetadata(split_id="m", num_docs=10_000_000, time_range=(0, 1))
+    ] * 15
+    assert plan_merges(mature, cfg) == []
+    # level separation: big young splits don't merge with small ones
+    mixed = young[:5] + [
+        SplitMetadata(split_id=f"b{i}", num_docs=5_000_000, time_range=(0, i))
+        for i in range(5)
+    ]
+    assert plan_merges(mixed, cfg) == []
+
+
+def test_gc_removes_retired_split_data(spark, merged_index):
+    import os
+
+    ms = Metastore(merged_index)
+    retired = [
+        s.split_id
+        for s in ms.splits(("MarkedForDeletion",))
+    ]
+    assert retired, "merge should have retired splits"
+    victims = garbage_collect(merged_index, grace=False)
+    assert set(retired) <= set(victims)
+    for sid in retired:
+        assert not os.path.isdir(
+            os.path.join(merged_index, "postings", f"split_id={sid}")
+        )
+    assert not ms.splits(("MarkedForDeletion",))
