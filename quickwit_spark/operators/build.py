@@ -165,6 +165,88 @@ def build_index(
     if done:
         df = df.filter(~F.col("split_id").isin([int(d) for d in done]))
 
+    return _execute_build(
+        spark, ms, config, df, todo, source_id,
+        checkpoint_delta_fn=lambda metas: {
+            m.split_id: f"docs:{m.num_docs:020d}" for m in metas
+        },
+        term_buckets=term_buckets,
+        salt_chunk=salt_chunk,
+    )
+
+
+def add_documents(
+    spark: SparkSession,
+    df: DataFrame,
+    index_dir: str,
+    source_id: str = "stream",
+    position: str | None = None,
+    num_splits: int | None = None,
+    term_buckets: int | None = None,
+) -> list[SplitMetadata]:
+    """Append ``df`` as NEW splits to an existing index — the
+    incremental-ingest primitive the streaming path uses per
+    micro-batch (reference: each indexer commit cuts fresh splits,
+    indexer.rs:347-351; publish advances the source checkpoint
+    atomically, publisher.rs:87-111).
+
+    ``position``: monotonically-increasing source position (e.g. a
+    zero-padded streaming batch id). If the recorded checkpoint for
+    ``source_id`` is already at/past it, the call is a NO-OP —
+    exactly-once on micro-batch replay (checkpoint.rs:160-178).
+    """
+    ms = Metastore(index_dir)
+    config = ms.config()
+    if position is not None:
+        prev = ms.checkpoint(source_id).get("position")
+        if prev is not None and str(position) <= prev:
+            return []  # batch already committed — replay no-op
+    if term_buckets is None:
+        term_buckets = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    if num_splits is None:
+        approx = df.count()
+        num_splits = max(1, -(-approx // config.split_num_docs_target))
+    base = max((int(s.split_id) for s in ms.splits()), default=-1) + 1
+
+    key = config.key_field
+    split_col = (
+        F.pmod(F.xxhash64(F.col(key)), F.lit(num_splits)).cast("int")
+        + F.lit(base)
+    )
+    df = df.withColumn("split_id", split_col)
+    todo = list(range(base, base + num_splits))
+    delta = (
+        (lambda metas: {"position": str(position)})
+        if position is not None
+        else (lambda metas: None)
+    )
+    return _execute_build(
+        spark, ms, config, df, todo, source_id,
+        checkpoint_delta_fn=delta,
+        term_buckets=term_buckets,
+        salt_chunk=None,
+    )
+
+
+def _execute_build(
+    spark: SparkSession,
+    ms: Metastore,
+    config: IndexConfig,
+    df: DataFrame,
+    todo: list[int],
+    source_id: str,
+    checkpoint_delta_fn,
+    term_buckets: int,
+    salt_chunk: int | None,
+) -> list[SplitMetadata]:
+    """Shared build core: ``df`` already carries ``split_id``; encode
+    postings/docmap/fastfields for the splits in ``todo`` and publish
+    them atomically."""
+    # under foreachBatch the DataFrame is bound to a CLONED session —
+    # conf must be set there or the partition overwrite goes static
+    # and wipes previously-built splits
+    spark = df.sparkSession
+    key = config.key_field
     t0 = time.time()
     w = Window.partitionBy("split_id").orderBy(key)
     docs = df.withColumn("doc_id", F.row_number().over(w) - F.lit(1))
@@ -343,8 +425,6 @@ def build_index(
     ms.publish_splits(
         [m.split_id for m in metas],
         source_id=source_id,
-        checkpoint_delta={
-            m.split_id: f"docs:{m.num_docs:020d}" for m in metas
-        },
+        checkpoint_delta=checkpoint_delta_fn(metas),
     )
     return metas
