@@ -64,9 +64,15 @@ def main() -> None:
     t_total0 = time.time()
     queries: dict[str, float] = {}
 
+    corpus_dir = tempfile.mkdtemp(prefix="qws_bench_corpus_")
     try:
-        # ---- index build (extraction + tokenize + encode + publish) ----
-        pages = with_extracted_text(webpages_df(spark, n_docs, seed=42).drop("text"))
+        # ---- corpus staged as parquet first: the timed job is
+        #      read → extract → tokenize → encode → publish (the
+        #      north-star shape: index an EXISTING table of pages) ----
+        webpages_df(spark, n_docs, seed=42).drop("text").write.mode(
+            "overwrite"
+        ).parquet(corpus_dir)
+        pages = with_extracted_text(spark.read.parquet(corpus_dir))
         t0 = time.time()
         metas = build_index(
             spark, pages, index_dir, webpages_config(), num_splits=8
@@ -120,6 +126,7 @@ def main() -> None:
         )
     finally:
         shutil.rmtree(index_dir, ignore_errors=True)
+        shutil.rmtree(corpus_dir, ignore_errors=True)
 
 
 if __name__ == "__main__":

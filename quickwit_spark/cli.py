@@ -1,0 +1,220 @@
+"""CLI — the reference's command surface re-expressed for Spark.
+
+Reference: ``quickwit index {create, ingest, describe, search, merge,
+demux, gc, delete}`` (quickwit-cli/src/cli.rs:31-76,
+quickwit-cli/src/index.rs:52-231). Run locally::
+
+    python -m quickwit_spark.cli create --index /tmp/idx --config cfg.json
+    python -m quickwit_spark.cli ingest --index /tmp/idx --input pages.parquet
+    python -m quickwit_spark.cli search --index /tmp/idx --query "hot word" -k 10
+
+or on a cluster via spark-submit (the engine is a plain package —
+ship it with ``--py-files``)::
+
+    cd /root/repo && zip -qr /tmp/qws.zip quickwit_spark
+    spark-submit --py-files /tmp/qws.zip -m quickwit_spark.cli ... \
+        # (or: spark-submit --py-files /tmp/qws.zip cli_entry.py ...)
+
+Index config JSON shape (plans/config.py)::
+
+    {"fields": [{"name": "text", "tokenizer": "default",
+                 "record": "position"}, ...],
+     "key_field": "url", "default_search_fields": ["text"],
+     "timestamp_field": "warc_ts", "tag_fields": ["lang"],
+     "fast_fields": ["warc_ts", "lang"], ...}
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+from quickwit_spark.session import get_spark
+
+
+def _load_config(path: str):
+    from quickwit_spark.plans.config import IndexConfig
+
+    with open(path) as f:
+        d = json.load(f)
+    d.setdefault("default_search_fields", [])
+    for fd in d.get("fields", []):
+        fd.setdefault("tokenizer", "default")
+        fd.setdefault("record", "freq")
+        fd.setdefault("indexed", True)
+    return IndexConfig.from_dict(d)
+
+
+def cmd_create(args) -> int:
+    from quickwit_spark.plans.metastore import Metastore
+
+    Metastore(args.index).create(_load_config(args.config))
+    print(f"created index at {args.index}")
+    return 0
+
+
+def cmd_ingest(args) -> int:
+    from quickwit_spark.operators.build import add_documents, build_index
+    from quickwit_spark.plans.metastore import Metastore
+
+    spark = get_spark("qws-ingest")
+    df = spark.read.format(args.format).load(args.input)
+    ms = Metastore(args.index)
+    if ms.exists() and ms.list_published():
+        metas = add_documents(spark, df, args.index, position=args.position)
+    else:
+        config = ms.config() if ms.exists() else _load_config(args.config)
+        metas = build_index(
+            spark, df, args.index, config, num_splits=args.num_splits
+        )
+    print(
+        json.dumps(
+            {
+                "published_splits": [m.split_id for m in metas],
+                "num_docs": sum(m.num_docs for m in metas),
+            }
+        )
+    )
+    return 0
+
+
+def cmd_search(args) -> int:
+    from quickwit_spark.operators.search import SearchRequest, fetch_docs, search_df
+
+    spark = get_spark("qws-search")
+    req = SearchRequest(
+        query=args.query,
+        k=args.max_hits,
+        offset=args.start_offset,
+        start_ts=args.start_timestamp,
+        end_ts=args.end_timestamp,
+        sort_field=args.sort_by_field.lstrip("+-") if args.sort_by_field else None,
+        sort_asc=bool(args.sort_by_field and args.sort_by_field.startswith("+")),
+    )
+    hits = search_df(spark, args.index, req)
+    out = fetch_docs(spark, args.index, hits)
+    rows = [r.asDict(recursive=True) for r in out.collect()]
+    print(json.dumps({"num_hits": len(rows), "hits": rows}, default=str))
+    return 0
+
+
+def cmd_describe(args) -> int:
+    from quickwit_spark.plans.metastore import Metastore
+
+    ms = Metastore(args.index)
+    splits = ms.splits()
+    print(
+        json.dumps(
+            {
+                "config": ms.config().to_dict(),
+                "num_published_splits": sum(
+                    1 for s in splits if s.state == "Published"
+                ),
+                "num_docs": sum(
+                    s.num_docs for s in splits if s.state == "Published"
+                ),
+                "splits": [s.to_dict() for s in splits],
+            },
+            indent=1,
+        )
+    )
+    return 0
+
+
+def cmd_merge(args) -> int:
+    from quickwit_spark.operators.merge import merge_splits
+    from quickwit_spark.plans.merge_policy import plan_merges
+    from quickwit_spark.plans.metastore import Metastore
+
+    spark = get_spark("qws-merge")
+    ms = Metastore(args.index)
+    if args.splits:
+        ops = [args.splits.split(",")]
+    else:
+        ops = plan_merges(ms.list_published(), ms.config())
+    done = []
+    for op in ops:
+        meta = merge_splits(spark, args.index, op)
+        done.append({"merged": op, "into": meta.split_id})
+    print(json.dumps({"operations": done}))
+    return 0
+
+
+def cmd_demux(args) -> int:
+    from quickwit_spark.operators.demux import demux_splits
+
+    spark = get_spark("qws-demux")
+    metas = demux_splits(
+        spark, args.index, args.field, num_out_splits=args.num_splits
+    )
+    print(
+        json.dumps(
+            {"new_splits": [m.split_id for m in metas], "field": args.field}
+        )
+    )
+    return 0
+
+
+def cmd_gc(args) -> int:
+    from quickwit_spark.plans.merge_policy import garbage_collect
+
+    removed = garbage_collect(args.index, grace=not args.now)
+    print(json.dumps({"removed_splits": removed}))
+    return 0
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(prog="quickwit_spark")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    c = sub.add_parser("create", help="create an index")
+    c.add_argument("--index", required=True)
+    c.add_argument("--config", required=True, help="index config JSON path")
+    c.set_defaults(fn=cmd_create)
+
+    c = sub.add_parser("ingest", help="index a parquet/json input")
+    c.add_argument("--index", required=True)
+    c.add_argument("--input", required=True)
+    c.add_argument("--format", default="parquet")
+    c.add_argument("--config", help="config JSON (first ingest only)")
+    c.add_argument("--num-splits", type=int, default=None)
+    c.add_argument("--position", default=None, help="source position")
+    c.set_defaults(fn=cmd_ingest)
+
+    c = sub.add_parser("search", help="BM25 search")
+    c.add_argument("--index", required=True)
+    c.add_argument("--query", required=True)
+    c.add_argument("-k", "--max-hits", type=int, default=20)
+    c.add_argument("--start-offset", type=int, default=0)
+    c.add_argument("--start-timestamp", default=None)
+    c.add_argument("--end-timestamp", default=None)
+    c.add_argument("--sort-by-field", default=None, help="+field / -field")
+    c.set_defaults(fn=cmd_search)
+
+    c = sub.add_parser("describe", help="index metadata")
+    c.add_argument("--index", required=True)
+    c.set_defaults(fn=cmd_describe)
+
+    c = sub.add_parser("merge", help="run merge policy (or merge --splits a,b)")
+    c.add_argument("--index", required=True)
+    c.add_argument("--splits", default=None, help="comma-separated split ids")
+    c.set_defaults(fn=cmd_merge)
+
+    c = sub.add_parser("demux", help="demux splits by a field")
+    c.add_argument("--index", required=True)
+    c.add_argument("--field", required=True)
+    c.add_argument("--num-splits", type=int, default=None)
+    c.set_defaults(fn=cmd_demux)
+
+    c = sub.add_parser("gc", help="garbage-collect retired splits")
+    c.add_argument("--index", required=True)
+    c.add_argument("--now", action="store_true", help="ignore grace periods")
+    c.set_defaults(fn=cmd_gc)
+
+    args = p.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -44,7 +44,6 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from quickwit_spark.operators.analysis import tokenize_col
-from quickwit_spark.operators.codec import encode_posting_list
 from quickwit_spark.operators.fieldnorm import fieldnorm_to_id
 from quickwit_spark.plans.config import IndexConfig, RECORD_POSITION
 from quickwit_spark.plans.metastore import Metastore, SplitMetadata
@@ -55,61 +54,130 @@ POSTINGS_SCHEMA = (
 )
 
 
-def _encode_groups(pdf: pd.DataFrame) -> pd.DataFrame:
-    """Encode every (field, term) posting list in one bucket group.
+def _make_token_encoder(pos_fields: frozenset):
+    """Token-level batch encoder: raw (field, term, doc_id, pos) rows
+    → one encoded posting row per (field, term).
 
-    Input rows: field, term, doc_id, tf, positions (nullable list).
-    Vectorized: one numpy sort + boundary detection, then the
-    per-term numpy encoder.
+    Fully batch-vectorized: the tf/positions aggregation is a numpy
+    run-length pass over the sorted rows, and because varbyte streams
+    of consecutive values concatenate, ALL terms' gaps/tfs/positions
+    are encoded in ONE pass — each term's binary cell is a byte-slice
+    of the shared stream. The only per-term Python work is the
+    slicing (per-term numpy churn dominated build time before:
+    high-cardinality raw fields make every doc key its own df=1
+    term).
     """
-    split_id = int(pdf["split_id"].iloc[0])
-    pdf = pdf.sort_values(["field", "term", "doc_id"], kind="mergesort")
-    fields = pdf["field"].to_numpy()
-    terms = pdf["term"].to_numpy()
-    doc_ids = pdf["doc_id"].to_numpy(dtype=np.int64)
-    tfs = pdf["tf"].to_numpy(dtype=np.int64)
-    has_pos = "positions" in pdf.columns
-    positions = pdf["positions"].to_numpy() if has_pos else None
 
-    n = len(pdf)
-    if n == 0:
-        return pd.DataFrame(
-            columns=[
-                "split_id", "field", "term", "doc_freq", "total_tf",
-                "doc_bytes", "tf_bytes", "skip_bytes", "pos_bytes",
-            ]
+    def encode(pdf: pd.DataFrame) -> pd.DataFrame:
+        from quickwit_spark.operators.codec import (
+            BLOCK_SIZE,
+            _varbyte_lengths,
+            varbyte_encode,
         )
-    boundary = np.ones(n, dtype=bool)
-    boundary[1:] = (terms[1:] != terms[:-1]) | (fields[1:] != fields[:-1])
-    starts = np.flatnonzero(boundary)
-    ends = np.append(starts[1:], n)
 
-    rows = []
-    for s, e in zip(starts, ends):
-        pos_arrays = None
-        if has_pos and positions[s] is not None:
-            pos_arrays = [np.asarray(p, dtype=np.uint64) for p in positions[s:e]]
-        enc = encode_posting_list(doc_ids[s:e], tfs[s:e], pos_arrays)
-        rows.append(
-            (
-                split_id,
-                fields[s],
-                terms[s],
-                int(e - s),
-                int(tfs[s:e].sum()),
-                enc["doc_bytes"],
-                enc["tf_bytes"],
-                enc["skip_bytes"],
-                enc.get("pos_bytes"),
-            )
-        )
-    return pd.DataFrame(
-        rows,
-        columns=[
+        cols = [
             "split_id", "field", "term", "doc_freq", "total_tf",
             "doc_bytes", "tf_bytes", "skip_bytes", "pos_bytes",
-        ],
-    )
+        ]
+        n = len(pdf)
+        if n == 0:
+            return pd.DataFrame(columns=cols)
+        split_id = int(pdf["split_id"].iloc[0])
+        pdf = pdf.sort_values(
+            ["field", "term", "doc_id", "pos"], kind="mergesort"
+        )
+        fields = pdf["field"].to_numpy()
+        terms = pdf["term"].to_numpy()
+        rdocs = pdf["doc_id"].to_numpy(dtype=np.int64)
+        rpos = pdf["pos"].to_numpy(dtype=np.int64)
+
+        # run-length: rows → (term, doc) entries → term segments
+        new_term = np.ones(n, dtype=bool)
+        new_term[1:] = (terms[1:] != terms[:-1]) | (fields[1:] != fields[:-1])
+        new_td = new_term.copy()
+        new_td[1:] |= rdocs[1:] != rdocs[:-1]
+        td_starts = np.flatnonzero(new_td)  # one per (term, doc)
+        td_ends = np.append(td_starts[1:], n)
+        docs_u = rdocs[td_starts].astype(np.uint64)
+        tfs = (td_ends - td_starts).astype(np.uint64)
+        m = td_starts.size
+        # term boundaries in td-space and in row-space
+        starts_td = np.flatnonzero(new_term[td_starts])
+        ends_td = np.append(starts_td[1:], m)
+        row_starts = td_starts[starts_td]
+        row_ends = np.append(row_starts[1:], n)
+        T = starts_td.size
+
+        # ---- doc-gap + tf streams (one encode for the whole group) ----
+        gaps = docs_u.copy()
+        gaps[1:] = docs_u[1:] - docs_u[:-1]
+        gaps[starts_td] = docs_u[starts_td]  # absolute at term start
+        doc_lens = _varbyte_lengths(gaps)
+        tf_lens = _varbyte_lengths(tfs)
+        doc_stream = varbyte_encode(gaps)
+        tf_stream = varbyte_encode(tfs)
+        doc_cum = np.concatenate(([0], np.cumsum(doc_lens)))
+        tf_cum = np.concatenate(([0], np.cumsum(tf_lens)))
+
+        # ---- skip tables for all terms' blocks at once ----
+        n_per = ends_td - starts_td
+        reps = -(-n_per // BLOCK_SIZE)
+        first_block = np.concatenate(([0], np.cumsum(reps)))
+        total_blocks = int(first_block[-1])
+        term_of_block = np.repeat(np.arange(T), reps)
+        block_ord = np.arange(total_blocks) - first_block[:-1][term_of_block]
+        block_lo = starts_td[term_of_block] + block_ord * BLOCK_SIZE
+        block_hi = np.minimum(block_lo + BLOCK_SIZE, ends_td[term_of_block])
+        skip = np.empty((total_blocks, 5), dtype="<u4")
+        skip[:, 0] = docs_u[block_hi - 1]
+        skip[:, 1] = np.maximum.reduceat(tfs, block_lo)
+        skip[:, 2] = doc_cum[block_lo] - doc_cum[starts_td[term_of_block]]
+        skip[:, 3] = tf_cum[block_lo] - tf_cum[starts_td[term_of_block]]
+        skip[:, 4] = block_hi - block_lo
+        skip_bytes_all = skip.tobytes()  # 20 bytes per block row
+
+        # ---- positions stream (rows of position-record fields) ----
+        mask_pos = np.isin(fields, list(pos_fields)) if pos_fields else None
+        pos_data = None
+        if mask_pos is not None and mask_pos.any():
+            flat = rpos[mask_pos].astype(np.uint64)
+            pg = flat.copy()
+            pg[1:] = flat[1:] - flat[:-1]
+            cum0 = np.concatenate(
+                ([0], np.cumsum(mask_pos))
+            )  # pos-rows before row i
+            mstarts = cum0[td_starts[mask_pos[td_starts]]]
+            pg[mstarts] = flat[mstarts]  # absolute per doc
+            pos_lens = _varbyte_lengths(pg)
+            pos_stream = varbyte_encode(pg)
+            pcum = np.concatenate(([0], np.cumsum(pos_lens)))
+            pos_data = (mask_pos, cum0, pos_stream, pcum)
+
+        # ---- per-term slicing (cheap Python loop) ----
+        rows = []
+        for t in range(T):
+            s, e = starts_td[t], ends_td[t]
+            rs, re_ = row_starts[t], row_ends[t]
+            pos_bytes = None
+            if pos_data is not None and pos_data[0][rs]:
+                mask_pos, cum0, pos_stream, pcum = pos_data
+                pos_bytes = pos_stream[pcum[cum0[rs]] : pcum[cum0[re_]]]
+            rows.append(
+                (
+                    split_id,
+                    fields[rs],
+                    terms[rs],
+                    int(e - s),
+                    int(re_ - rs),  # total_tf == token rows in the term
+                    doc_stream[doc_cum[s] : doc_cum[e]],
+                    tf_stream[tf_cum[s] : tf_cum[e]],
+                    skip_bytes_all[first_block[t] * 20 : first_block[t + 1] * 20],
+                    pos_bytes,
+                )
+            )
+        return pd.DataFrame(rows, columns=cols)
+
+    return encode
 
 
 def _norm_id_udf():
@@ -122,6 +190,46 @@ def _norm_id_udf():
 
     _norm.__annotations__ = {"lens": pd.Series, "return": pd.Series}
     return pandas_udf(_norm, "int")
+
+
+def write_fastfields(ms: Metastore, config: IndexConfig, docmap: DataFrame) -> None:
+    """Pack per-split columnar blobs (fieldnorm bytes, timestamp
+    micros) from a docmap DataFrame and write them under the index —
+    one binary cell per (split, column). Shared by build, merge and
+    demux."""
+    docmap.sparkSession.conf.set(
+        "spark.sql.sources.partitionOverwriteMode", "dynamic"
+    )
+    ff_cols = [f"norm_{fc.name}" for fc in config.indexed_fields]
+    ts_field = config.timestamp_field
+
+    def _pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("doc_id")
+        sid = int(pdf["split_id"].iloc[0])
+        rows = []
+        for c in ff_cols:
+            rows.append((sid, c, pdf[c].to_numpy(dtype=np.uint8).tobytes()))
+        if ts_field is not None:
+            s = pdf[ts_field]
+            if getattr(s.dtype, "tz", None) is not None:
+                s = s.dt.tz_convert("UTC").dt.tz_localize(None)
+            micros = s.astype("datetime64[us]").astype(np.int64)
+            rows.append((sid, f"ts_{ts_field}", micros.to_numpy().tobytes()))
+        return pd.DataFrame(rows, columns=["split_id", "name", "data"])
+
+    ff_select = ["split_id", "doc_id", *ff_cols] + (
+        [ts_field] if ts_field else []
+    )
+    fastfields = (
+        docmap.select(*ff_select)
+        .groupBy("split_id")
+        .applyInPandas(_pack, "split_id int, name string, data binary")
+    )
+    (
+        fastfields.write.partitionBy("split_id")
+        .mode("overwrite")
+        .parquet(os.path.join(ms.index_dir, "fastfields"))
+    )
 
 
 def build_index(
@@ -248,32 +356,45 @@ def _execute_build(
     spark = df.sparkSession
     key = config.key_field
     t0 = time.time()
-    w = Window.partitionBy("split_id").orderBy(key)
-    docs = df.withColumn("doc_id", F.row_number().over(w) - F.lit(1))
 
-    norm_udf = _norm_id_udf()
-    doc_cols = [F.col("split_id"), F.col("doc_id"), F.col(key).alias("key")]
+    # tokenize BEFORE the per-split doc-id shuffle: the heavy regex
+    # work runs once per field at full input parallelism, and the
+    # shuffle then carries token arrays instead of raw html/text (the
+    # window stage itself has only num_splits active tasks — keep it
+    # cheap). Each tokenizer expression appears exactly ONCE in the
+    # projection — len/norm derive from the cached arrays afterwards
+    # so Catalyst can't duplicate the regexp.
+    doc_cols = [F.col("split_id"), F.col(key).alias("key")]
     if config.timestamp_field:
         doc_cols.append(F.col(config.timestamp_field))
     for f in config.fast_fields:
         if f not in (config.timestamp_field, key):
             doc_cols.append(F.col(f))
-    tok_cols = {}
-    for fc in config.indexed_fields:
-        tok = tokenize_col(F.col(fc.name), fc.tokenizer)
-        tok_cols[fc.name] = tok
-        doc_cols.append(F.size(tok).alias(f"len_{fc.name}"))
-        doc_cols.append(norm_udf(F.size(tok)).alias(f"norm_{fc.name}"))
-    docs = docs.select(*doc_cols, *[
-        tok_cols[fc.name].alias(f"toks_{fc.name}") for fc in config.indexed_fields
+    tag_aliases = []
+    for tf_name in config.tag_fields:
+        doc_cols.append(F.col(tf_name).cast("string").alias(f"tag_{tf_name}"))
+        tag_aliases.append(f"tag_{tf_name}")
+    pre = df.select(*doc_cols, *[
+        tokenize_col(F.col(fc.name), fc.tokenizer).alias(f"toks_{fc.name}")
+        for fc in config.indexed_fields
     ])
+
+    w = Window.partitionBy("split_id").orderBy("key")
+    docs = pre.withColumn("doc_id", F.row_number().over(w) - F.lit(1))
     docs.cache()
 
     # ---- docmap (doc store + fast fields + fieldnorms) ----
-    docmap = docs.drop(*[f"toks_{fc.name}" for fc in config.indexed_fields])
+    norm_udf = _norm_id_udf()
+    docmap = docs
+    for fc in config.indexed_fields:
+        docmap = docmap.withColumn(
+            f"len_{fc.name}", F.size(f"toks_{fc.name}")
+        ).withColumn(f"norm_{fc.name}", norm_udf(F.col(f"len_{fc.name}")))
+    docmap = docmap.drop(*[f"toks_{fc.name}" for fc in config.indexed_fields])
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     (
-        docmap.repartition("split_id")
+        docmap.drop(*tag_aliases)
+        .repartition("split_id")
         .sortWithinPartitions("doc_id")
         .write.partitionBy("split_id")
         .mode("overwrite")
@@ -284,79 +405,47 @@ def _execute_build(
     #      values: one binary cell per (split, column) — the query
     #      path reads these tiny rows instead of shuffling the whole
     #      docmap; docmap parquet remains the doc store) ----
-    ff_cols = [f"norm_{fc.name}" for fc in config.indexed_fields]
-    ts_field = config.timestamp_field
+    write_fastfields(ms, config, docmap)
 
-    def _pack(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values("doc_id")
-        sid = int(pdf["split_id"].iloc[0])
-        rows = []
-        for c in ff_cols:
-            rows.append((sid, c, pdf[c].to_numpy(dtype=np.uint8).tobytes()))
-        if ts_field is not None:
-            s = pdf[ts_field]
-            if getattr(s.dtype, "tz", None) is not None:
-                s = s.dt.tz_convert("UTC").dt.tz_localize(None)
-            micros = s.astype("datetime64[us]").astype(np.int64)
-            rows.append((sid, f"ts_{ts_field}", micros.to_numpy().tobytes()))
-        return pd.DataFrame(rows, columns=["split_id", "name", "data"])
-
-    ff_select = ["split_id", "doc_id", *ff_cols] + (
-        [ts_field] if ts_field else []
+    # ---- token rows → postings in ONE shuffle: raw (doc, term, pos)
+    #      rows go straight to the bucket groups and the tf/positions
+    #      aggregation happens vectorized inside the encoder (numpy
+    #      run-length over the sorted rows) — no intermediate
+    #      collect_list arrays, no second shuffle ----
+    pos_fields = frozenset(
+        fc.name for fc in config.indexed_fields if fc.record == RECORD_POSITION
     )
-    fastfields = (
-        docmap.select(*ff_select)
-        .groupBy("split_id")
-        .applyInPandas(_pack, "split_id int, name string, data binary")
-    )
-    (
-        fastfields.write.partitionBy("split_id")
-        .mode("overwrite")
-        .parquet(os.path.join(ms.index_dir, "fastfields"))
-    )
-
-    # ---- token rows → tf per (split, field, term, doc) ----
-    per_field = []
-    for fc in config.indexed_fields:
-        ex = docs.select(
+    per_field = [
+        docs.select(
             "split_id",
             "doc_id",
             F.lit(fc.name).alias("field"),
             F.posexplode(f"toks_{fc.name}").alias("pos", "term"),
         )
-        if fc.record == RECORD_POSITION:
-            tf = ex.groupBy("split_id", "field", "term", "doc_id").agg(
-                F.count("*").alias("tf"),
-                F.sort_array(F.collect_list("pos")).alias("positions"),
-            )
-        else:
-            tf = ex.groupBy("split_id", "field", "term", "doc_id").agg(
-                F.count("*").alias("tf"),
-                F.lit(None).cast("array<int>").alias("positions"),
-            )
-        per_field.append(tf)
-    tf_rows = per_field[0]
+        for fc in config.indexed_fields
+    ]
+    tok_rows = per_field[0]
     for other in per_field[1:]:
-        tf_rows = tf_rows.unionByName(other)
+        tok_rows = tok_rows.unionByName(other)
 
-    # ---- posting encode (grouped by term-hash bucket; optional
-    #      doc-range salt splits hot terms across tasks) ----
+    # optional doc-range salt splits hot terms across tasks
     if salt_chunk:
         # each (term, doc-chunk) partial must cover ONE contiguous doc
         # range so the phase-2 merge can concatenate by first doc
-        tf_rows = tf_rows.withColumn(
+        tok_rows = tok_rows.withColumn(
             "chunk", (F.col("doc_id") / F.lit(salt_chunk)).cast("long")
         ).withColumn(
             "bucket", F.pmod(F.xxhash64("term", "chunk"), F.lit(term_buckets))
         )
         group_cols = ["split_id", "bucket", "chunk"]
     else:
-        tf_rows = tf_rows.withColumn(
+        tok_rows = tok_rows.withColumn(
             "bucket", F.pmod(F.xxhash64("term"), F.lit(term_buckets))
         )
         group_cols = ["split_id", "bucket"]
-    encoded = tf_rows.groupBy(*group_cols).applyInPandas(
-        lambda pdf: _encode_groups(pdf), POSTINGS_SCHEMA
+    encoder = _make_token_encoder(pos_fields)
+    encoded = tok_rows.groupBy(*group_cols).applyInPandas(
+        encoder, POSTINGS_SCHEMA
     )
     if salt_chunk:
         from quickwit_spark.operators.merge import merge_partial_postings
@@ -371,7 +460,8 @@ def _execute_build(
         .parquet(ms.postings_dir())
     )
 
-    # ---- per-split stats + tags → metadata ----
+    # ---- per-split stats + tags → metadata (ONE pass over the
+    #      cached docmap — tags ride the same agg) ----
     aggs = [F.count("*").alias("num_docs")]
     if config.timestamp_field:
         ts = config.timestamp_field
@@ -381,19 +471,18 @@ def _execute_build(
         ]
     for fc in config.indexed_fields:
         aggs.append(F.sum(f"len_{fc.name}").alias(f"tok_{fc.name}"))
+    for tf_name in config.tag_fields:
+        aggs.append(
+            F.collect_set(F.col(f"tag_{tf_name}")).alias(f"tagset_{tf_name}")
+        )
     stats = {r["split_id"]: r.asDict() for r in docmap.groupBy("split_id").agg(*aggs).collect()}
 
     tags: dict[int, dict[str, list[str]]] = {s: {} for s in stats}
-    for tag_field in config.tag_fields:
-        trows = (
-            df.groupBy("split_id")
-            .agg(F.collect_set(F.col(tag_field).cast("string")).alias("vals"))
-            .collect()
-        )
-        for r in trows:
-            vals = sorted(v for v in r["vals"] if v is not None)
+    for sid, st in stats.items():
+        for tag_field in config.tag_fields:
+            vals = sorted(v for v in st[f"tagset_{tag_field}"] if v is not None)
             if len(vals) <= config.tag_cardinality_limit:  # packager.rs:36-40
-                tags.setdefault(r["split_id"], {})[tag_field] = vals
+                tags[sid][tag_field] = vals
     docs.unpersist()
 
     build_secs = time.time() - t0

@@ -1,0 +1,94 @@
+"""CLI lifecycle: create → ingest → search → describe → merge → gc.
+
+Runs in-process (shares the test SparkSession via get_spark's
+active-session reuse) — the same code path spark-submit exercises.
+"""
+
+from __future__ import annotations
+
+import json
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from quickwit_spark import cli
+from quickwit_spark.sources.corpus import gen_batch
+
+
+@pytest.fixture(scope="module")
+def cli_env(spark, tmp_path_factory, capsysbinary=None):
+    root = tmp_path_factory.mktemp("cli")
+    idx = str(root / "idx")
+    cfg_path = str(root / "cfg.json")
+    data_path = str(root / "pages.parquet")
+    cfg = {
+        "fields": [
+            {"name": "text", "tokenizer": "default", "record": "position"},
+            {"name": "lang", "tokenizer": "raw", "record": "basic"},
+        ],
+        "key_field": "url",
+        "default_search_fields": ["text"],
+        "timestamp_field": "warc_ts",
+        "tag_fields": ["lang"],
+        "fast_fields": ["warc_ts", "lang"],
+        "min_level_num_docs": 10,
+        "merge_factor": 2,
+        "max_merge_factor": 3,
+    }
+    with open(cfg_path, "w") as f:
+        json.dump(cfg, f)
+    pdf = gen_batch(np.arange(200), seed=42)
+    spark.createDataFrame(
+        pdf[["url", "warc_ts", "text", "lang"]]
+    ).write.parquet(data_path)
+    return idx, cfg_path, data_path
+
+
+def _run(capsys, *argv) -> dict:
+    rc = cli.main(list(argv))
+    assert rc == 0
+    out = capsys.readouterr().out.strip().splitlines()
+    for i, line in enumerate(out):
+        if line.startswith("{"):
+            return json.loads("\n".join(out[i:]))
+    return {}
+
+
+def test_cli_lifecycle(spark, cli_env, capsys):
+    idx, cfg_path, data_path = cli_env
+
+    cli.main(["create", "--index", idx, "--config", cfg_path])
+    capsys.readouterr()
+
+    r = _run(
+        capsys, "ingest", "--index", idx, "--input", data_path,
+        "--num-splits", "4",
+    )
+    assert r["num_docs"] == 200
+    assert len(r["published_splits"]) == 4
+
+    r = _run(capsys, "search", "--index", idx, "--query", "hot word", "-k", "5")
+    assert r["num_hits"] > 0
+    assert all("score" in h for h in r["hits"])
+
+    r = _run(capsys, "describe", "--index", idx)
+    assert r["num_docs"] == 200
+
+    r = _run(capsys, "merge", "--index", idx)
+    assert len(r["operations"]) >= 1
+
+    r = _run(capsys, "search", "--index", idx, "--query", "hot word", "-k", "5")
+    assert r["num_hits"] > 0
+
+    r = _run(capsys, "gc", "--index", idx, "--now")
+    assert len(r["removed_splits"]) >= 2
+
+    # incremental second ingest goes through add_documents
+    r = _run(
+        capsys, "ingest", "--index", idx, "--input", data_path,
+        "--position", "00000000000000000001",
+    )
+    assert r["num_docs"] == 200
+    r = _run(capsys, "describe", "--index", idx)
+    assert r["num_docs"] == 400
