@@ -155,7 +155,7 @@ def _search_matches(spark, sf_dir, query, round_dp=3) -> DataFrame:
 
     idx = _docs_index(spark, sf_dir)
     m = matches_df(spark, idx, SearchRequest(query=query))
-    out = fetch_docs(spark, idx, m, columns=["key"])
+    out = fetch_docs(spark, idx, m, columns=["key"], bounded=False)
     return out.select(
         F.col("key").cast("long").alias("doc_id"),
         F.round(F.col("score"), round_dp).alias("score"),
@@ -233,10 +233,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         d = _docs(spark, sf_dir)
         lens = d.select(F.size(tokenize_col(F.col("text"))).alias("dl"))
+        # avgdl is exported as floor(1e6 * total / n) — exact integer
+        # arithmetic both engines produce bit-identically (float
+        # `round(x, 6)` is half-even in Spark vs half-up in DuckDB)
         return lens.agg(
             F.count("*").cast("long").alias("num_docs"),
             F.sum("dl").cast("long").alias("total_tokens"),
-            F.round(F.sum("dl") / F.count("*"), 6).alias("avgdl"),
+        ).select(
+            "num_docs",
+            "total_tokens",
+            F.expr(
+                "CAST((1000000 * total_tokens) DIV num_docs AS LONG)"
+            ).alias("avgdl_micros"),
         )
 
     q["collection_stats"] = collection_stats
@@ -268,7 +276,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         idx = _docs_index(spark, sf_dir)
         m = matches_df(spark, idx, SearchRequest(query="spark"))
-        out = fetch_docs(spark, idx, m, columns=["key"]).select(
+        out = fetch_docs(spark, idx, m, columns=["key"], bounded=False).select(
             F.col("key").cast("long").alias("doc_id")
         )
         d = _docs(spark, sf_dir).select("doc_id", "n_chars")
@@ -289,7 +297,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         idx = _docs_index(spark, sf_dir)
         m = matches_df(spark, idx, SearchRequest(query="window"))
-        out = fetch_docs(spark, idx, m, columns=["key"]).select(
+        out = fetch_docs(spark, idx, m, columns=["key"], bounded=False).select(
             F.col("key").cast("long").alias("doc_id")
         )
         d = _docs(spark, sf_dir).select("doc_id", "n_chars")
@@ -306,7 +314,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         idx = _docs_index(spark, sf_dir)
         m = matches_df(spark, idx, SearchRequest(query="spark"))
-        hits = fetch_docs(spark, idx, m, columns=["key"]).select(
+        hits = fetch_docs(spark, idx, m, columns=["key"], bounded=False).select(
             F.col("key").cast("long").alias("doc_id")
         )
         d = _docs(spark, sf_dir).select("doc_id", "n_chars")
@@ -336,7 +344,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         idx = _docs_index(spark, sf_dir)
         m = matches_df(spark, idx, SearchRequest(query="table"))
-        hits = fetch_docs(spark, idx, m, columns=["key"]).select(
+        hits = fetch_docs(spark, idx, m, columns=["key"], bounded=False).select(
             F.col("key").cast("long").alias("doc_id")
         )
         d = _docs(spark, sf_dir).select("doc_id", "n_chars")
@@ -504,7 +512,7 @@ ORDER BY df DESC, term ASC LIMIT 20
   FROM base b LEFT JOIN toks t ON b.doc_id = t.doc_id GROUP BY b.doc_id
 )
 SELECT count(*) AS num_docs, sum(dl) AS total_tokens,
-       round(sum(dl) / CAST(count(*) AS DOUBLE), 6) AS avgdl
+       CAST((1000000 * sum(dl)) // count(*) AS BIGINT) AS avgdl_micros
 FROM doclen
 """
 

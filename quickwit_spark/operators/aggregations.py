@@ -100,7 +100,7 @@ def run_aggregations(
                     for k2, b2 in sub.items():
                         if k2 in _METRIC_AGGS:
                             needed.add(b2["field"])
-    docs = fetch_docs(spark, index_dir, matches, columns=sorted(needed))
+    docs = fetch_docs(spark, index_dir, matches, columns=sorted(needed), bounded=False)
 
     out: dict = {}
     for name, spec in aggs.items():
@@ -183,5 +183,5 @@ def search_stream(
     analogue)."""
     matches = matches_df(spark, index_dir, req)
     cols = [fast_field] + ([partition_by_field] if partition_by_field else [])
-    docs = fetch_docs(spark, index_dir, matches, columns=cols)
+    docs = fetch_docs(spark, index_dir, matches, columns=cols, bounded=False)
     return docs.select(*cols)

@@ -274,14 +274,26 @@ def fetch_docs(
     index_dir: str,
     hits: DataFrame,
     columns: list[str] | None = None,
+    bounded: bool = True,
 ) -> DataFrame:
-    """Materialize hits by broadcast semi-joining their keys back to
-    the docmap (fetch_docs.rs analogue)."""
+    """Materialize hits by joining their keys back to the docmap
+    (fetch_docs.rs analogue).
+
+    ``bounded=True`` (the top-k path): the hit set is ≤ k+offset rows,
+    so broadcast it to every docmap partition — no shuffle of the doc
+    store. ``bounded=False`` (the search_stream / aggregation path):
+    the hit set is EVERY matching doc — at web scale that's billions
+    of rows, so it must NOT be broadcast; use a plain equi-join and
+    let Spark shuffle on (split_id, doc_id) (or auto-broadcast when
+    the runtime size happens to be small — AQE's call, not a hint).
+    The reference never centralizes this set either: search_stream
+    leaves stream their own split's matches (leaf.rs:119-255)."""
     ms = Metastore(index_dir)
     docmap = spark.read.parquet(ms.docmap_dir())
     if columns:
         docmap = docmap.select("split_id", "doc_id", *columns)
-    return docmap.join(F.broadcast(hits), ["split_id", "doc_id"], "inner")
+    right = F.broadcast(hits) if bounded else hits
+    return docmap.join(right, ["split_id", "doc_id"], "inner")
 
 
 def search(

@@ -50,6 +50,29 @@ def test_search_plan_reads_only_query_terms(spark, built_index):
     assert "word" in pushed or "In(term" in pushed
 
 
+def test_unbounded_fetch_never_broadcasts(spark, built_index):
+    """The all-matches fetch path (search_stream / aggregations input)
+    must not HINT a broadcast of the hit set — at web scale it is
+    unbounded (VERDICT r1 scale-killer). With auto-broadcast disabled
+    the plan must fall back to a shuffle join; the top-k path must
+    still broadcast its (bounded) hit set."""
+    from quickwit_spark.operators.search import fetch_docs, matches_df, search_df
+
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        m = matches_df(spark, built_index, SearchRequest(query="word"))
+        docs = fetch_docs(spark, built_index, m, columns=["key"], bounded=False)
+        plan = docs._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastExchange" not in plan
+        hits = search_df(spark, built_index, SearchRequest(query="word", k=5))
+        top = fetch_docs(spark, built_index, hits, columns=["key"], bounded=True)
+        plan_top = top._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastExchange" in plan_top  # explicit hint survives
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
 def test_time_pruning_skips_splits(spark, built_index):
     # a window before the corpus epoch matches nothing → no scan at all
     hits, _, _ = _evaluate(
