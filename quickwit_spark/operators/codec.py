@@ -202,3 +202,50 @@ def decode_positions(
         out.append(np.cumsum(seg, dtype=np.uint64))
         off += tf
     return out
+
+
+def _ragged_gather(offs: np.ndarray, lens: np.ndarray) -> np.ndarray:
+    """Flat indices selecting ranges [offs[i], offs[i]+lens[i]) in
+    order — the standard vectorized ragged slice."""
+    total = int(lens.sum())
+    if total == 0:
+        return np.empty(0, dtype=np.int64)
+    seg_starts = np.cumsum(lens) - lens
+    return np.arange(total, dtype=np.int64) - np.repeat(seg_starts, lens) + np.repeat(
+        offs, lens
+    )
+
+
+def decode_positions_selected(
+    pos_bytes: bytes, tfs: np.ndarray, doc_idx: np.ndarray
+) -> tuple[np.ndarray, np.ndarray]:
+    """Decode positions for ONLY the docs at ``doc_idx`` (indices into
+    the posting list, ascending).
+
+    Returns ``(positions int64 flat, lens int64 per selected doc)``
+    with positions absolute (per-doc delta-gaps cumsum'ed). The byte
+    stream is scanned once for value boundaries (cheap bitwise pass),
+    then only the selected docs' byte ranges are gathered and decoded
+    — the phrase path never materializes the positions of docs outside
+    the term intersection (the reference's positions skip,
+    tantivy positions reader semantics, SURVEY.md §2.6)."""
+    tfs = np.asarray(tfs, dtype=np.int64)
+    doc_idx = np.asarray(doc_idx, dtype=np.int64)
+    arr = np.frombuffer(pos_bytes, dtype=np.uint8)
+    if doc_idx.size == 0 or arr.size == 0:
+        return np.empty(0, dtype=np.int64), np.zeros(doc_idx.size, dtype=np.int64)
+    cont = (arr & 0x80) != 0
+    # byte offset where each encoded value starts
+    val_starts = np.flatnonzero(np.concatenate(([True], ~cont[:-1])))
+    vbound = np.concatenate(([0], np.cumsum(tfs)))  # value index per doc
+    byte_bound = np.concatenate((val_starts, [arr.size]))
+    lens = tfs[doc_idx]
+    b_lo = byte_bound[vbound[doc_idx]]
+    b_len = byte_bound[vbound[doc_idx + 1]] - b_lo
+    sel = _ragged_gather(b_lo, b_len)
+    gaps = varbyte_decode(arr[sel], int(lens.sum())).astype(np.int64)
+    # segmented cumsum → absolute positions per selected doc
+    seg_starts = np.cumsum(lens) - lens
+    c = np.cumsum(gaps)
+    base = np.repeat(c[seg_starts] - gaps[seg_starts], lens)
+    return c - base, lens

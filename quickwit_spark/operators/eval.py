@@ -30,7 +30,7 @@ from quickwit_spark.operators import bm25
 from quickwit_spark.operators.codec import (
     decode_blocks,
     decode_posting_list,
-    decode_positions,
+    decode_positions_selected,
     decode_skip,
 )
 from quickwit_spark.plans.parser import Bool, MatchNone, PhraseQ, TermQ
@@ -118,6 +118,12 @@ def eval_conjunction_terms(
 
 
 def eval_phrase(ctx: SplitContext, node: PhraseQ) -> tuple[np.ndarray, np.ndarray]:
+    """Positions-postings traversal, fully vectorized: positions are
+    decoded ONLY for docs in the term intersection
+    (codec.decode_positions_selected) and the adjacency check runs on
+    flat composite keys ``(doc_ord << 32) | (pos - term_offset)`` —
+    one sorted-array intersection per extra term, no per-doc Python
+    loop (r1's row-at-a-time hot spot)."""
     rows = []
     for t in node.terms:
         row = ctx.postings.get((node.field, t))
@@ -130,20 +136,25 @@ def eval_phrase(ctx: SplitContext, node: PhraseQ) -> tuple[np.ndarray, np.ndarra
         common = np.intersect1d(common, d)
     if common.size == 0:
         return _EMPTY
-    # positions per term, only needed for common docs
-    pos_per_term = []
-    for (docs, tfs), row in zip(decoded, rows):
-        all_pos = decode_positions(row["pos_bytes"], tfs)
+    # adjacency via composite keys: a phrase start at position p in
+    # doc i survives iff every term j has a position p+j in doc i
+    cand = None
+    for j, ((docs, tfs), row) in enumerate(zip(decoded, rows)):
         idx = np.searchsorted(docs, common)
-        pos_per_term.append([all_pos[i] for i in idx])
-    match_tf = np.zeros(common.size, dtype=np.int64)
-    for i in range(common.size):
-        cand = pos_per_term[0][i].astype(np.int64)
-        for j in range(1, len(pos_per_term)):
-            cand = np.intersect1d(cand, pos_per_term[j][i].astype(np.int64) - j)
-            if cand.size == 0:
-                break
-        match_tf[i] = cand.size
+        pos, lens = decode_positions_selected(row["pos_bytes"], tfs, idx)
+        doc_ord = np.repeat(np.arange(common.size, dtype=np.int64), lens)
+        start = pos - j  # position of the would-be phrase start
+        keep = start >= 0
+        keys = (doc_ord[keep] << np.int64(32)) | start[keep]
+        if cand is None:
+            cand = keys  # ascending: doc_ord asc, pos asc within doc
+        else:
+            cand = np.intersect1d(cand, keys, assume_unique=True)
+        if cand.size == 0:
+            return _EMPTY
+    match_tf = np.bincount(
+        (cand >> np.int64(32)).astype(np.int64), minlength=common.size
+    )
     hit = match_tf > 0
     docs = common[hit].astype(np.int64)
     if docs.size == 0:

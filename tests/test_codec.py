@@ -65,3 +65,37 @@ def test_positions_roundtrip():
 def test_decode_count_mismatch_raises():
     with pytest.raises(ValueError):
         varbyte_decode(b"\x01\x02", 5)
+
+
+def test_positions_selected_matches_full():
+    from quickwit_spark.operators.codec import decode_positions_selected
+
+    rng = np.random.default_rng(9)
+    n = 300
+    docs = np.arange(n, dtype=np.uint64)
+    tfs = rng.integers(1, 9, size=n).astype(np.uint64)
+    pos = [
+        np.sort(rng.choice(5000, size=int(t), replace=False)).astype(np.uint64)
+        for t in tfs
+    ]
+    enc = encode_posting_list(docs, tfs, pos)
+    idx = np.sort(rng.choice(n, size=40, replace=False)).astype(np.int64)
+    flat, lens = decode_positions_selected(enc["pos_bytes"], tfs, idx)
+    assert (lens == tfs[idx].astype(np.int64)).all()
+    off = 0
+    for i, ln in zip(idx, lens):
+        assert (flat[off : off + ln] == pos[i].astype(np.int64)).all()
+        off += ln
+
+
+def test_positions_selected_empty_selection():
+    from quickwit_spark.operators.codec import decode_positions_selected
+
+    docs = np.arange(5, dtype=np.uint64)
+    tfs = np.ones(5, dtype=np.uint64)
+    pos = [np.array([i], dtype=np.uint64) for i in range(5)]
+    enc = encode_posting_list(docs, tfs, pos)
+    flat, lens = decode_positions_selected(
+        enc["pos_bytes"], tfs, np.empty(0, dtype=np.int64)
+    )
+    assert flat.size == 0 and lens.size == 0
