@@ -61,8 +61,18 @@ def cmd_ingest(args) -> int:
     spark = get_spark("qws-ingest")
     df = spark.read.format(args.format).load(args.input)
     ms = Metastore(args.index)
-    if ms.exists() and ms.list_published():
-        metas = add_documents(spark, df, args.index, position=args.position)
+    if args.position is not None:
+        # --position must be exactly-once-guarded even for the FIRST
+        # batch (ADVICE r1): create the empty index if needed, then
+        # go through add_documents, whose checkpoint covers replays.
+        if not ms.exists():
+            ms.create(_load_config(args.config))
+        metas = add_documents(
+            spark, df, args.index, position=args.position,
+            num_splits=args.num_splits,
+        )
+    elif ms.exists() and ms.list_published():
+        metas = add_documents(spark, df, args.index)
     else:
         config = ms.config() if ms.exists() else _load_config(args.config)
         metas = build_index(
@@ -156,6 +166,35 @@ def cmd_demux(args) -> int:
     return 0
 
 
+def cmd_delete(args) -> int:
+    """Delete splits (mark + GC) or the whole index — the reference's
+    ``quickwit index delete`` (quickwit-cli/src/index.rs:52-231)."""
+    import shutil
+
+    from quickwit_spark.plans.merge_policy import garbage_collect
+    from quickwit_spark.plans.metastore import Metastore
+
+    ms = Metastore(args.index)
+    if args.splits:
+        sids = args.splits.split(",")
+        known = {s.split_id for s in ms.splits()}
+        unknown = [s for s in sids if s not in known]
+        if unknown:
+            print(json.dumps({"error": f"unknown splits {unknown}"}))
+            return 1
+        ms.mark_for_deletion(sids)
+        removed = garbage_collect(args.index, grace=not args.now)
+        print(json.dumps({"marked": sids, "removed_splits": removed}))
+        return 0
+    if not args.yes:
+        print(json.dumps({"error": "whole-index delete requires --yes"}))
+        return 1
+    if ms.exists():
+        shutil.rmtree(args.index)
+    print(json.dumps({"deleted_index": args.index}))
+    return 0
+
+
 def cmd_gc(args) -> int:
     from quickwit_spark.plans.merge_policy import garbage_collect
 
@@ -206,6 +245,13 @@ def main(argv: list[str] | None = None) -> int:
     c.add_argument("--field", required=True)
     c.add_argument("--num-splits", type=int, default=None)
     c.set_defaults(fn=cmd_demux)
+
+    c = sub.add_parser("delete", help="delete splits (--splits) or the index (--yes)")
+    c.add_argument("--index", required=True)
+    c.add_argument("--splits", default=None, help="comma-separated split ids")
+    c.add_argument("--now", action="store_true", help="skip GC grace period")
+    c.add_argument("--yes", action="store_true", help="confirm whole-index delete")
+    c.set_defaults(fn=cmd_delete)
 
     c = sub.add_parser("gc", help="garbage-collect retired splits")
     c.add_argument("--index", required=True)

@@ -48,6 +48,11 @@ from quickwit_spark.operators.merge import POSTINGS_SCHEMA, merge_partial_postin
 from quickwit_spark.plans.metastore import Metastore, SplitMetadata
 
 
+# sentinel standing in for NULL demux values in counts/bins/joins —
+# never written back to the docmap (the join key is derived + dropped)
+NULL_SENTINEL = "\x00null"
+
+
 def next_fit_bins(
     value_counts: list[tuple[str, int]], num_bins: int
 ) -> dict[str, int]:
@@ -94,9 +99,17 @@ def demux_splits(
     docmap = spark.read.parquet(ms.docmap_dir()).filter(
         F.col("split_id").isin(in_ids)
     )
+    # join on a DERIVED string key with an explicit null sentinel:
+    # (a) null demux values would otherwise be dropped by the inner
+    # join while still being counted, corrupting the remap arrays
+    # (docs silently lost / postings remapped to split 0); (b) casting
+    # the real column in place would persist a different parquet type
+    # than the not-yet-GC'd old split files in the same docmap dir.
+    demux_key = F.coalesce(F.col(field).cast("string"), F.lit(NULL_SENTINEL))
+    docmap = docmap.withColumn("__demux_key", demux_key)
     counts = [
-        (str(r[field]), r["n"])
-        for r in docmap.groupBy(field).agg(F.count("*").alias("n")).collect()
+        (r["__demux_key"], r["n"])
+        for r in docmap.groupBy("__demux_key").agg(F.count("*").alias("n")).collect()
     ]
     if len(counts) > config.tag_cardinality_limit:
         raise ValueError(
@@ -109,13 +122,13 @@ def demux_splits(
     bin_df = F.broadcast(
         spark.createDataFrame(
             [(v, base + b) for v, b in bins.items()],
-            f"{field} string, new_split int",
+            "__demux_key string, new_split int",
         )
     )
     w = Window.partitionBy("new_split").orderBy("split_id", "doc_id")
     mapped = (
-        docmap.withColumn(field, F.col(field).cast("string"))
-        .join(bin_df, field)
+        docmap.join(bin_df, "__demux_key")
+        .drop("__demux_key")
         .withColumn("new_doc", F.row_number().over(w) - F.lit(1))
     )
     mapped.cache()
@@ -243,7 +256,10 @@ def demux_splits(
     out: list[SplitMetadata] = []
     demux_ops = max(m.lineage.get("demux_ops", 0) for m in inputs) + 1
     for sid, st in sorted(stats.items()):
-        bin_vals = sorted(v for v, b in bins.items() if base + b == sid)
+        # null group is never a tag value (no term query can match it)
+        bin_vals = sorted(
+            v for v, b in bins.items() if base + b == sid and v != NULL_SENTINEL
+        )
         tags = {field: bin_vals} if field in config.tag_fields else {}
         if field not in config.tag_fields:
             tags[field] = bin_vals  # demux value set is always recorded

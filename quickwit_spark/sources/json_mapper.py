@@ -86,9 +86,12 @@ def _nest_schema(fields: list[JsonField]) -> T.StructType:
     return build(tree)
 
 
-def _flat_col(f: JsonField):
-    """Leaf accessor (struct traversal) + per-type coercion, aliased
-    to the flattened '.'-joined name."""
+def _coerced_col(f: JsonField):
+    """Leaf accessor (struct traversal) + per-type coercion — the
+    value AFTER type rules applied (used both for output columns and
+    the required-field validity check, so a declared-required field
+    whose value fails coercion rejects the doc like the reference's
+    typed-value parse errors, field_mapping_entry.rs:124-437)."""
     col = F.col("__doc")
     for p in f.path.split("."):
         col = col.getField(p)
@@ -105,10 +108,13 @@ def _flat_col(f: JsonField):
     else:
         coerce = lambda c: c  # noqa: E731
     if f.multi:
-        out = F.transform(col, coerce)
-    else:
-        out = coerce(col)
-    return out.alias(f.path)
+        return F.transform(col, coerce)
+    return coerce(col)
+
+
+def _flat_col(f: JsonField):
+    """Coerced leaf aliased to the flattened '.'-joined name."""
+    return _coerced_col(f).alias(f.path)
 
 
 def doc_from_json(
@@ -135,12 +141,12 @@ def doc_from_json(
     is_parse_error = F.col("__doc").isNull() | F.col("__doc").getField(
         "_corrupt"
     ).isNotNull()
+    # coercions apply BEFORE the required check: a required field
+    # whose raw value is present but fails its type rule (negative
+    # u64, non-RFC-3339 date, bad base64) rejects the doc (ADVICE r1)
     missing_req = F.lit(False)
     for f in required:
-        c = F.col("__doc")
-        for p in f.path.split("."):
-            c = c.getField(p)
-        missing_req = missing_req | c.isNull()
+        missing_req = missing_req | _coerced_col(f).isNull()
     status = (
         F.when(is_parse_error, F.lit("parse_error"))
         .when(F.col("__doc").isNotNull() & missing_req, F.lit("missing_required"))

@@ -92,3 +92,44 @@ def test_cli_lifecycle(spark, cli_env, capsys):
     assert r["num_docs"] == 200
     r = _run(capsys, "describe", "--index", idx)
     assert r["num_docs"] == 400
+
+
+def test_cli_first_ingest_position_replay_guard(spark, cli_env, capsys, tmp_path):
+    """ADVICE r1: --position must protect the FIRST batch too —
+    replaying it with the same position is a no-op."""
+    idx = str(tmp_path / "idx_pos")
+    _, cfg_path, data_path = cli_env
+    r = _run(
+        capsys, "ingest", "--index", idx, "--input", data_path,
+        "--config", cfg_path, "--position", "00000000000000000001",
+    )
+    assert r["num_docs"] == 200
+    r = _run(
+        capsys, "ingest", "--index", idx, "--input", data_path,
+        "--position", "00000000000000000001",
+    )
+    assert r["num_docs"] == 0  # replay rejected
+    r = _run(capsys, "describe", "--index", idx)
+    assert r["num_docs"] == 200
+
+
+def test_cli_delete(spark, cli_env, capsys, tmp_path):
+    idx = str(tmp_path / "idx_del")
+    _, cfg_path, data_path = cli_env
+    r = _run(
+        capsys, "ingest", "--index", idx, "--input", data_path,
+        "--config", cfg_path, "--num-splits", "3",
+    )
+    sids = r["published_splits"]
+    r = _run(capsys, "delete", "--index", idx, "--splits", sids[0], "--now")
+    assert r["removed_splits"] == [sids[0]]
+    r = _run(capsys, "describe", "--index", idx)
+    assert r["num_published_splits"] == 2
+    # whole-index delete requires --yes
+    assert cli.main(["delete", "--index", idx]) == 1
+    capsys.readouterr()
+    r = _run(capsys, "delete", "--index", idx, "--yes")
+    assert r["deleted_index"] == idx
+    import os
+
+    assert not os.path.exists(idx)

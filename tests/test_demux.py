@@ -96,3 +96,32 @@ def test_demux_enables_tag_pruning(spark, demuxed):
     pruned = prune_splits(ms.list_published(), config, ast)
     assert len(pruned) < len(new)  # query touches only the 'de' split(s)
     assert all("de" in s.tags["lang"] for s in pruned)
+
+
+def test_demux_null_field_values_survive(spark, corpus_rows, tmp_path_factory):
+    """ADVICE r1 (high): docs with a NULL demux value must neither be
+    lost nor corrupt the postings remap; the docmap column keeps its
+    original type (no in-place string cast persisted)."""
+    index_dir = str(tmp_path_factory.mktemp("demux_null") / "idx")
+    rows = [dict(r) for r in corpus_rows[:60]]
+    for r in rows[::9]:  # 7 docs with null lang
+        r["lang"] = None
+    df = spark.createDataFrame(pd.DataFrame(rows))
+    build_index(spark, df, index_dir, webpages_config(), num_splits=2)
+    before = _match_keys(spark, index_dir, "word OR the")
+    new = demux_splits(spark, index_dir, "lang", num_out_splits=2)
+    ms = Metastore(index_dir)
+    pub = ms.list_published()
+    assert sum(s.num_docs for s in pub) == len(rows)  # nothing lost
+    assert _match_keys(spark, index_dir, "word OR the") == before
+    # null group recorded in no split's tag set
+    assert all(None not in m.tags.get("lang", []) for m in new)
+    assert all("\x00null" not in m.tags.get("lang", []) for m in new)
+    # docmap column type unchanged (string in this corpus, but the
+    # write path must not add a cast column or drop rows)
+    docmap = spark.read.parquet(ms.docmap_dir()).filter(
+        F.col("split_id").isin([int(m.split_id) for m in new])
+    )
+    assert docmap.count() == len(rows)
+    assert docmap.filter(F.col("lang").isNull()).count() == 7
+    assert "__demux_key" not in docmap.columns

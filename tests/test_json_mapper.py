@@ -69,3 +69,20 @@ def test_null_and_guard_semantics(parsed):
     # missing optional nested leaf → null
     assert by_ts[9]["resource.service"] is None
     assert by_ts[9]["severity_text"] is None
+
+
+def test_required_field_with_invalid_value_rejected(spark):
+    """ADVICE r1: coercions apply before the required check — a
+    required u64 with a negative value is a rejected doc, not a
+    silently-nulled 'valid' one."""
+    fields = [
+        JsonField("uid", type="u64", required=True),
+        JsonField("body", type="text"),
+    ]
+    lines = spark.createDataFrame(
+        [('{"uid": 7, "body": "ok"}',), ('{"uid": -3, "body": "bad"}',)],
+        "value string",
+    )
+    docs, c = doc_from_json(lines, fields)
+    assert c.valid == 1 and c.missing_required == 1
+    assert [r["uid"] for r in docs.collect()] == [7]
