@@ -101,6 +101,10 @@ def _with(*ctes: str) -> str:
 
 DOCS_QUERY_TERMS = ("spark", "window", "table", "fast", "value")
 
+# deterministic RP-LSH hyperplanes, materialized so the DuckDB oracle
+# can reproduce signatures (written by both queries() and oracle_sql())
+_PLANES_PATH = "/tmp/qws_lsh_planes_d64_p8_s42.parquet"
+
 
 def _docs_config():
     from quickwit_spark.plans.config import (
@@ -120,6 +124,7 @@ def _docs_config():
         default_search_fields=("text",),
         timestamp_field=None,
         tag_fields=("lang", "source"),
+        fast_fields=("n_chars",),
     )
 
 
@@ -268,22 +273,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["count_query"] = count_query
 
     def sort_by_fast_field(spark, sf_dir):
+        # THROUGH the engine: n_chars is a packed ff_ blob, the
+        # per-split evaluator sorts by it (sort_by.rs:80-113 parity)
         from quickwit_spark.operators.search import (
             SearchRequest,
             fetch_docs,
-            matches_df,
+            search_df,
         )
 
         idx = _docs_index(spark, sf_dir)
-        m = matches_df(spark, idx, SearchRequest(query="spark"))
-        out = fetch_docs(spark, idx, m, columns=["key"], bounded=False).select(
-            F.col("key").cast("long").alias("doc_id")
+        hits = search_df(
+            spark, idx,
+            SearchRequest(query="spark", k=10, sort_field="n_chars", sort_asc=False),
         )
-        d = _docs(spark, sf_dir).select("doc_id", "n_chars")
-        return (
-            out.join(d, "doc_id")
-            .orderBy(F.col("n_chars").desc(), F.col("doc_id").asc())
-            .limit(10)
+        out = fetch_docs(spark, idx, hits, columns=["key"])
+        return out.select(
+            F.col("key").cast("long").alias("doc_id"),
+            F.col("score").cast("long").alias("n_chars"),
         )
 
     q["sort_by_fast_field"] = sort_by_fast_field
@@ -444,11 +450,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["ann_knn_join"] = ann_knn_join
 
     def ann_lsh(spark, sf_dir):
+        similarity.write_planes_parquet(_PLANES_PATH, dim=64, n_planes=8, seed=42)
         e = _emb(spark, sf_dir)
         qvec = e.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]
-        return similarity.rp_lsh_ann(e, qvec, dim=64, k=10)
+        return similarity.rp_lsh_ann(
+            e.filter(F.col("vec_id") != 0), qvec, dim=64, k=10, multiprobe=2
+        ).withColumnRenamed("key", "vec_id")
 
-    q["ann_lsh_bucketed"] = ann_lsh  # rows-only check (no SQL oracle)
+    q["ann_lsh_bucketed"] = ann_lsh
 
     # ---- multimodal plumbing (binary payloads, fake decode) ----
     def mm_decode(spark, sf_dir):
@@ -833,8 +842,53 @@ SELECT probe_id, neighbor_id, cosine, CAST(rank AS INT) AS rank
 FROM ranked WHERE rank <= 3
 """
 
-    # ann_lsh_bucketed: intentionally no oracle (plane generation is
-    # procedural) → driver records a rows-only check
+    # ann_lsh_bucketed: planes materialized to parquet so DuckDB can
+    # reproduce buckets; multiprobe=2 lowest-|margin| bit flips
+    from quickwit_spark.functions.similarity import write_planes_parquet
+
+    write_planes_parquet(_PLANES_PATH, dim=64, n_planes=8, seed=42)
+    o["ann_lsh_bucketed"] = f"""
+WITH planes AS (
+  SELECT plane_id, idx, coef FROM read_parquet('{_PLANES_PATH}')
+),
+dots AS (
+  SELECT e.vec_id, p.plane_id,
+         sum(CAST(e.embedding[p.idx + 1] AS DOUBLE) * p.coef) AS dot
+  FROM embeddings e CROSS JOIN planes p
+  GROUP BY e.vec_id, p.plane_id
+),
+buckets AS (
+  SELECT vec_id,
+         CAST(sum(CASE WHEN dot >= 0 THEN (1::BIGINT << plane_id) ELSE 0 END) AS BIGINT) AS bucket
+  FROM dots GROUP BY vec_id
+),
+qb AS (SELECT bucket FROM buckets WHERE vec_id = 0),
+flips AS (
+  SELECT plane_id FROM dots WHERE vec_id = 0
+  ORDER BY abs(dot) ASC, plane_id ASC LIMIT 2
+),
+probe AS (
+  SELECT xor((SELECT bucket FROM qb), (1::BIGINT << plane_id)) AS b FROM flips
+  UNION SELECT bucket FROM qb
+),
+q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+cand AS (
+  SELECT b.vec_id FROM buckets b JOIN probe p ON b.bucket = p.b
+  WHERE b.vec_id <> 0
+),
+pairs AS (
+  SELECT e.vec_id,
+         sum(CAST(e.embedding[i.i] AS DOUBLE) * CAST(q.qv[i.i] AS DOUBLE)) AS dot,
+         sqrt(sum(CAST(e.embedding[i.i] AS DOUBLE) * CAST(e.embedding[i.i] AS DOUBLE))) AS na,
+         sqrt(sum(CAST(q.qv[i.i] AS DOUBLE) * CAST(q.qv[i.i] AS DOUBLE))) AS nb
+  FROM embeddings e CROSS JOIN q,
+       UNNEST(generate_series(1, 64)) AS i(i)
+  WHERE e.vec_id IN (SELECT vec_id FROM cand)
+  GROUP BY e.vec_id
+)
+SELECT vec_id, round(dot / (na * nb), 6) AS cosine
+FROM pairs ORDER BY cosine DESC, vec_id ASC LIMIT 10
+"""
 
     o["multimodal_decode_meta"] = """
 SELECT doc_id,

@@ -133,6 +133,54 @@ def rp_lsh_buckets(
     return df.select(F.col(key_col).alias("key"), bucket.alias("bucket"))
 
 
+def write_planes_parquet(path: str, dim: int, n_planes: int = 8, seed: int = 42) -> str:
+    """Materialize the deterministic hyperplanes as a small parquet
+    ``(plane_id, idx, coef)`` — lets an external SQL oracle (DuckDB)
+    reproduce signatures/buckets exactly. Idempotent per path."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    if not os.path.exists(path):
+        planes = random_planes(dim, n_planes, seed)
+        plane_id = np.repeat(np.arange(n_planes), dim)
+        idx = np.tile(np.arange(dim), n_planes)
+        tbl = pa.table(
+            {
+                "plane_id": plane_id.astype(np.int64),
+                "idx": idx.astype(np.int64),
+                "coef": planes.reshape(-1),
+            }
+        )
+        tmp = f"{path}.tmp.{os.getpid()}"
+        pq.write_table(tbl, tmp)
+        os.replace(tmp, path)
+    return path
+
+
+def rp_lsh_probe_buckets(
+    query_vec: list[float], dim: int, n_planes: int = 8, seed: int = 42,
+    multiprobe: int = 0,
+) -> list[int]:
+    """The query's bucket plus the ``multiprobe`` neighbor buckets
+    obtained by flipping the lowest-|margin| sign bits — the standard
+    multi-probe LSH recall fix (probe the buckets the query almost
+    fell into)."""
+    planes = random_planes(dim, n_planes, seed)
+    q = np.asarray(query_vec, dtype=np.float64)
+    dots = [float(planes[p] @ q) for p in range(n_planes)]
+    q_bucket = 0
+    for p in range(n_planes):
+        if dots[p] >= 0:
+            q_bucket |= 1 << p
+    probe = {q_bucket}
+    order = sorted(range(n_planes), key=lambda p: (abs(dots[p]), p))
+    for p in order[: max(0, multiprobe)]:
+        probe.add(q_bucket ^ (1 << p))
+    return sorted(probe)
+
+
 def rp_lsh_ann(
     df: DataFrame,
     query_vec: list[float],
@@ -142,19 +190,16 @@ def rp_lsh_ann(
     seed: int = 42,
     vec_col: str = "embedding",
     key_col: str = "vec_id",
+    multiprobe: int = 0,
 ) -> DataFrame:
     """Approximate top-k: restrict exact cosine to the query's LSH
-    bucket (falls back to fewer than k results when the bucket is
-    small — the standard recall/cost trade)."""
-    planes = random_planes(dim, n_planes, seed)
-    q = np.asarray(query_vec, dtype=np.float64)
-    q_bucket = 0
-    for p in range(n_planes):
-        if float(planes[p] @ q) >= 0:
-            q_bucket |= 1 << p
+    bucket(s). ``multiprobe`` extra buckets (lowest-|margin| bit
+    flips) trade a slightly larger candidate set for recall — the
+    scale shape stays a bucket-key join, never all-pairs."""
+    probe = rp_lsh_probe_buckets(query_vec, dim, n_planes, seed, multiprobe)
     buckets = rp_lsh_buckets(df, dim, n_planes, seed, vec_col, key_col)
     cand = df.join(
-        buckets.filter(F.col("bucket") == q_bucket),
+        buckets.filter(F.col("bucket").isin(probe)),
         df[key_col] == F.col("key"),
     ).drop("bucket")
     qc = F.array(*[F.lit(float(x)) for x in query_vec])

@@ -194,14 +194,28 @@ def _norm_id_udf():
 
 def write_fastfields(ms: Metastore, config: IndexConfig, docmap: DataFrame) -> None:
     """Pack per-split columnar blobs (fieldnorm bytes, timestamp
-    micros) from a docmap DataFrame and write them under the index —
-    one binary cell per (split, column). Shared by build, merge and
-    demux."""
+    micros, numeric fast fields as int64) from a docmap DataFrame and
+    write them under the index — one binary cell per (split, column).
+    Shared by build, merge and demux.
+
+    Numeric columns in ``config.fast_fields`` become ``ff_{name}``
+    int64 blobs the engine's sort-by-fast-field path reads directly
+    (reference SortBy::FastField works on any fast field,
+    quickwit-search/src/sort_by.rs:80-113); nulls pack as 0 like
+    tantivy's default value. Non-numeric fast fields stay docmap-only
+    (fetchable, not engine-sortable)."""
     docmap.sparkSession.conf.set(
         "spark.sql.sources.partitionOverwriteMode", "dynamic"
     )
     ff_cols = [f"norm_{fc.name}" for fc in config.indexed_fields]
     ts_field = config.timestamp_field
+    dtypes = dict(docmap.dtypes)
+    numeric_ff = [
+        f
+        for f in config.fast_fields
+        if f not in (ts_field, config.key_field)
+        and dtypes.get(f) in ("tinyint", "smallint", "int", "bigint")
+    ]
 
     def _pack(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values("doc_id")
@@ -209,6 +223,9 @@ def write_fastfields(ms: Metastore, config: IndexConfig, docmap: DataFrame) -> N
         rows = []
         for c in ff_cols:
             rows.append((sid, c, pdf[c].to_numpy(dtype=np.uint8).tobytes()))
+        for c in numeric_ff:
+            vals = pdf[c].fillna(0).to_numpy(dtype=np.int64)
+            rows.append((sid, f"ff_{c}", vals.tobytes()))
         if ts_field is not None:
             s = pdf[ts_field]
             if getattr(s.dtype, "tz", None) is not None:
@@ -217,7 +234,7 @@ def write_fastfields(ms: Metastore, config: IndexConfig, docmap: DataFrame) -> N
             rows.append((sid, f"ts_{ts_field}", micros.to_numpy().tobytes()))
         return pd.DataFrame(rows, columns=["split_id", "name", "data"])
 
-    ff_select = ["split_id", "doc_id", *ff_cols] + (
+    ff_select = ["split_id", "doc_id", *ff_cols, *numeric_ff] + (
         [ts_field] if ts_field else []
     )
     fastfields = (

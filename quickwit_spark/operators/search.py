@@ -130,7 +130,8 @@ def _make_evaluator(
                 ts_arr = np.frombuffer(data, dtype=np.int64)
             if sort_field and name == sort_field:
                 sort_vals = np.frombuffer(
-                    data, dtype=np.int64 if name.startswith("ts_") else np.uint8
+                    data,
+                    dtype=np.uint8 if name.startswith("norm_") else np.int64,
                 )
         post = {}
         for _, r in postings_pdf.iterrows():
@@ -198,6 +199,13 @@ def _evaluate(
     if sort_field is not None:
         if sort_field == config.timestamp_field:
             sort_field = f"ts_{sort_field}"
+        elif not sort_field.startswith(("ts_", "norm_", "ff_")):
+            # general fast field → packed int64 blob (sort_by.rs:80-113)
+            if sort_field not in config.fast_fields:
+                raise ValueError(
+                    f"sort field {sort_field!r} is not a declared fast field"
+                )
+            sort_field = f"ff_{sort_field}"
         extra = [sort_field]
     else:
         extra = []

@@ -95,3 +95,50 @@ def test_search_fields_override(spark, built_index, oracle_index):
     got = _spark_hits(spark, built_index, "en", k=10, search_fields=("lang",))
     want = oracle_index.search("en", k=10, search_fields=("lang",))
     assert [(g[0], g[1]) for g in got] == [(w[0], w[1]) for w in want]
+
+
+def test_sort_by_numeric_fast_field_engine_path(
+    spark, corpus_rows, tmp_path_factory
+):
+    """General fast-field sort runs INSIDE the per-split evaluator
+    (packed ff_ int64 blob), asc and desc, matching a client-side
+    orderBy over the raw corpus (sort_by.rs:80-113 parity)."""
+    import pandas as pd
+
+    from quickwit_spark.operators.build import build_index
+    from quickwit_spark.operators.search import fetch_docs
+    from quickwit_spark.plans.config import webpages_config
+
+    index_dir = str(tmp_path_factory.mktemp("ffsort") / "idx")
+    rows = [dict(r) for r in corpus_rows[:120]]
+    for r in rows:
+        r["n_chars"] = len(r["text"])
+    config = webpages_config(fast_fields=("warc_ts", "lang", "n_chars"))
+    df = spark.createDataFrame(pd.DataFrame(rows))
+    build_index(spark, df, index_dir, config, num_splits=2)
+
+    matching = [r for r in rows if "word" in r["text"].split()]
+    for asc in (False, True):
+        hits = search_df(
+            spark,
+            index_dir,
+            SearchRequest(query="word", k=7, sort_field="n_chars", sort_asc=asc),
+        )
+        got = [
+            (r["key"], int(r["score"]))
+            for r in fetch_docs(
+                spark, index_dir, hits, columns=["key"]
+            ).collect()
+        ]
+        want = sorted(
+            ((r["url"], r["n_chars"]) for r in matching),
+            key=lambda t: (t[1] if asc else -t[1],),
+        )[:7]
+        assert sorted(v for _, v in got) == sorted(v for _, v in want), asc
+
+
+def test_sort_by_undeclared_fast_field_raises(spark, built_index):
+    with pytest.raises(ValueError, match="fast field"):
+        search_df(
+            spark, built_index, SearchRequest(query="word", sort_field="nope")
+        )
