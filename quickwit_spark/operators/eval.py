@@ -37,6 +37,14 @@ from quickwit_spark.plans.parser import Bool, MatchNone, PhraseQ, TermQ
 
 _EMPTY = (np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float32))
 
+# decode instrumentation (unit-testable pruning evidence; cheap ints)
+DECODE_COUNTERS = {"blocks_decoded": 0, "blocks_total": 0}
+
+
+def reset_decode_counters() -> None:
+    DECODE_COUNTERS["blocks_decoded"] = 0
+    DECODE_COUNTERS["blocks_total"] = 0
+
 
 @dataclass
 class SplitContext:
@@ -239,6 +247,7 @@ def evaluate_split(
     sort_values: np.ndarray | None = None,
     sort_asc: bool = False,
     emit_all: bool = False,
+    count_exact: bool = True,
 ) -> tuple[np.ndarray, np.ndarray, int]:
     """Full per-split evaluation → (top doc_ids, sort values,
     num_hits).
@@ -247,15 +256,28 @@ def evaluate_split(
     provided per-doc ``sort_values`` (fast field), asc or desc —
     the reference's SortBy (sort_by.rs:80-113). ``emit_all`` returns
     every matching doc (search_stream / aggregations path).
+    ``count_exact=False`` allows block-max pruning paths whose
+    ``num_hits`` is NOT the exact match count (-1 = not computed) —
+    the top-k-only request shape; like tantivy, combining an exact
+    Count with TopDocs forfeits WAND pruning.
     """
-    # single bare term: block-max fast path
+    no_ts = not apply_ts_filter or (start_micros is None and end_micros is None)
+    # single bare term: block-max fast path (num_hits stays exact)
+    if isinstance(ast, TermQ) and not emit_all and sort_field is None and no_ts:
+        return _topk_single_term(ctx, ast, k)
+    # pure disjunction of terms: multi-term block-max WAND
     if (
-        isinstance(ast, TermQ)
+        not count_exact
         and not emit_all
         and sort_field is None
-        and (not apply_ts_filter or (start_micros is None and end_micros is None))
+        and no_ts
+        and isinstance(ast, Bool)
+        and not ast.must
+        and not ast.must_not
+        and len(ast.should) >= 2
+        and all(isinstance(c, TermQ) for c in ast.should)
     ):
-        return _topk_single_term(ctx, ast, k)
+        return _topk_or_wand(ctx, list(ast.should), k)
     docs, scores = eval_node(ctx, ast)
     if apply_ts_filter and (start_micros is not None or end_micros is not None):
         if ctx.ts is None:
@@ -318,3 +340,172 @@ def _topk_single_term(
         if best_docs.size >= k:
             threshold = float(best_scores.min())
     return best_docs, best_scores.astype(np.float64), df
+
+
+def _topk_or_wand(
+    ctx: SplitContext, terms: list[TermQ], k: int
+) -> tuple[np.ndarray, np.ndarray, int]:
+    """Multi-term block-max WAND for a pure OR of terms.
+
+    Vectorized equivalent of tantivy's doc-at-a-time BlockWAND
+    (SURVEY.md §2.6), restructured for batch evaluation:
+
+    - LIGHT terms (few blocks — rare, high-idf) are decoded up front:
+      their docs are exact point masses, so a sparse term never
+      inflates the bound of the doc ranges between its postings (the
+      failure mode of naive block-range bounds).
+    - HEAVY terms contribute per-block score upper bounds. Doc-id
+      space is cut into intervals at heavy block boundaries; interval
+      bound = Σ heavy block-max + max actual light score inside.
+    - Intervals are evaluated in descending bound order with exact
+      scoring (same float32 accumulation order as ``_or_merge`` —
+      results are bit-identical to full evaluation) and the loop
+      stops once the k-th score beats every remaining bound. Heavy
+      blocks in dominated intervals are never decoded.
+
+    num_hits is NOT computed (-1): an exact OR count needs every doc.
+    """
+    LIGHT_MAX_BLOCKS = 8  # ≤1k docs: cheaper to decode than to bound
+    infos = []
+    for t in terms:
+        row = ctx.postings.get((t.field, t.term))
+        if row is None:
+            infos.append(None)
+            continue
+        df = int(row["doc_freq"])
+        weight = bm25.term_weight(df, ctx.num_docs)
+        cache = bm25.norm_cache(ctx.avg_fieldnorm(t.field))
+        norms = ctx.norms[t.field]
+        present = np.unique(norms) if norms.size else np.array([0], dtype=np.uint8)
+        cache_min = np.float32(cache[present].min())
+        skip = decode_skip(row["skip_bytes"])
+        infos.append(
+            {
+                "row": row,
+                "skip": skip,
+                "last": skip[:, 0].astype(np.int64),
+                "ub": bm25.block_max_score(skip[:, 1], weight, cache_min),
+                "weight": weight,
+                "cache": cache,
+                "norms": norms,
+                "light": skip.shape[0] <= LIGHT_MAX_BLOCKS,
+            }
+        )
+    live = [x for x in infos if x is not None]
+    if not live:
+        return np.empty(0, np.int64), np.empty(0, np.float64), 0
+    DECODE_COUNTERS["blocks_total"] += int(sum(x["last"].size for x in live))
+
+    # ---- light terms: full decode + per-doc scores ----
+    for x in live:
+        if x["light"]:
+            d, tf = _decode_full(x["row"])
+            x["docs"] = d
+            x["scores"] = bm25.score_tf(tf, x["norms"][d], x["weight"], x["cache"])
+            DECODE_COUNTERS["blocks_decoded"] += int(x["last"].size)
+    heavy = [x for x in live if not x["light"]]
+    light = [x for x in live if x["light"]]
+
+    if not heavy:
+        # everything decoded already — plain union + clause-order sum
+        union = None
+        for x in light:
+            union = x["docs"] if union is None else np.union1d(union, x["docs"])
+        scores = np.zeros(union.size, dtype=np.float32)
+        for x in light:
+            pos = np.searchsorted(union, x["docs"])
+            scores[pos] = (scores[pos] + x["scores"]).astype(np.float32)
+        sel = np.lexsort((union, -scores.astype(np.float64)))[:k]
+        return union[sel], scores[sel].astype(np.float64), -1
+
+    # ---- interval bounds: heavy block boundaries (+ tail for light
+    #      docs past the last heavy block) ----
+    max_last = max(int(x["last"][-1]) for x in live)
+    bounds = np.unique(
+        np.concatenate(
+            [x["last"] for x in heavy] + [np.array([max_last], dtype=np.int64)]
+        )
+    )
+    lo_bounds = np.concatenate(([np.int64(-1)], bounds[:-1]))
+    ub_sum = np.zeros(bounds.size, dtype=np.float64)
+    for x in heavy:
+        bidx = np.searchsorted(x["last"], bounds, side="left")
+        valid = bidx < x["last"].size
+        x["bidx"], x["valid"] = bidx, valid
+        ub_sum[valid] += x["ub"][bidx[valid]].astype(np.float64)
+    # actual light mass per interval: max total light score of a doc
+    # inside it (upper-bounds the light contribution of ANY doc there)
+    light_max = np.zeros(bounds.size, dtype=np.float64)
+    if light:
+        ldocs = None
+        for x in light:
+            ldocs = x["docs"] if ldocs is None else np.union1d(ldocs, x["docs"])
+        lsum = np.zeros(ldocs.size, dtype=np.float64)
+        for x in light:
+            lsum[np.searchsorted(ldocs, x["docs"])] += x["scores"].astype(np.float64)
+        ivl = np.searchsorted(bounds, ldocs, side="left")
+        np.maximum.at(light_max, ivl, lsum)
+    bound = ub_sum * (1 + 1e-6) + light_max * (1 + 1e-6)
+    order = np.argsort(-bound, kind="stable")
+
+    best_docs = np.empty(0, dtype=np.int64)
+    best_scores = np.empty(0, dtype=np.float32)
+    threshold = -np.inf
+    block_cache: dict[tuple[int, int], tuple[np.ndarray, np.ndarray]] = {}
+    for ii in order:
+        if best_docs.size >= k and bound[ii] < threshold:
+            break  # bounds descending — nothing left can enter
+        lo, hi = int(lo_bounds[ii]), int(bounds[ii])
+        # per-term docs/scores inside (lo, hi], in CLAUSE order
+        segs = []
+        for x in live:
+            if x["light"]:
+                d, s = x["docs"], x["scores"]
+                s0 = np.searchsorted(d, lo, side="right")
+                s1 = np.searchsorted(d, hi, side="right")
+                segs.append((d[s0:s1], s[s0:s1]))
+                continue
+            if not x["valid"][ii]:
+                segs.append(None)
+                continue
+            b = int(x["bidx"][ii])
+            key = (id(x), b)
+            cached = block_cache.get(key)
+            if cached is None:
+                mask = np.zeros(x["skip"].shape[0], dtype=bool)
+                mask[b] = True
+                d, tf = decode_blocks(
+                    x["row"]["doc_bytes"], x["row"]["tf_bytes"], x["skip"], mask
+                )
+                d = d.astype(np.int64)
+                cached = (
+                    d,
+                    bm25.score_tf(tf, x["norms"][d], x["weight"], x["cache"]),
+                )
+                block_cache[key] = cached
+                DECODE_COUNTERS["blocks_decoded"] += 1
+            d, s = cached
+            s0 = np.searchsorted(d, lo, side="right")
+            s1 = np.searchsorted(d, hi, side="right")
+            segs.append((d[s0:s1], s[s0:s1]))
+        union = None
+        for seg in segs:
+            if seg is None or seg[0].size == 0:
+                continue
+            union = seg[0] if union is None else np.union1d(union, seg[0])
+        if union is None or union.size == 0:
+            continue
+        scores = np.zeros(union.size, dtype=np.float32)
+        for seg in segs:
+            if seg is None or seg[0].size == 0:
+                continue
+            d, s = seg
+            pos = np.searchsorted(union, d)
+            scores[pos] = (scores[pos] + s).astype(np.float32)
+        best_docs = np.concatenate([best_docs, union])
+        best_scores = np.concatenate([best_scores, scores])
+        sel = np.lexsort((best_docs, -best_scores.astype(np.float64)))[:k]
+        best_docs, best_scores = best_docs[sel], best_scores[sel]
+        if best_docs.size >= k:
+            threshold = float(best_scores.min())
+    return best_docs, best_scores.astype(np.float64), -1

@@ -109,6 +109,7 @@ def _make_evaluator(
     sort_field: str | None,
     sort_asc: bool,
     emit_all: bool,
+    count_exact: bool,
 ):
     """Closure run per split by applyInPandas (numpy inside)."""
 
@@ -160,6 +161,7 @@ def _make_evaluator(
             sort_values=sort_vals,
             sort_asc=sort_asc,
             emit_all=emit_all,
+            count_exact=count_exact,
         )
         return pd.DataFrame(
             {
@@ -178,6 +180,7 @@ def _evaluate(
     index_dir: str,
     req: SearchRequest,
     emit_all: bool,
+    count_exact: bool = True,
 ) -> tuple[DataFrame | None, object, Metastore]:
     """Shared plan: prune → scan → per-split evaluate. Returns the
     per-split hits DataFrame (None when all splits pruned)."""
@@ -221,6 +224,7 @@ def _evaluate(
         sort_field,
         req.sort_asc,
         emit_all,
+        count_exact,
     )
     hits = (
         postings.groupBy("split_id")
@@ -233,7 +237,8 @@ def _evaluate(
 def search_df(spark: SparkSession, index_dir: str, req: SearchRequest) -> DataFrame:
     """Top-k hits as (split_id, doc_id, score), globally ordered with
     pagination applied."""
-    hits, _, _ = _evaluate(spark, index_dir, req, emit_all=False)
+    # top-k only: the evaluator may use block-max WAND (no exact count)
+    hits, _, _ = _evaluate(spark, index_dir, req, emit_all=False, count_exact=False)
     if hits is None:
         return spark.createDataFrame([], "split_id int, doc_id long, score double")
     asc = req.sort_asc and req.sort_field is not None

@@ -135,18 +135,45 @@ def run_worker(cores: int, docs: int, runs: int = 2) -> None:
     )
 
 
-def run_wrapper(levels: list[int], docs: int, runs: int = 2) -> None:
+def run_wrapper(levels: list[int], docs: int, reps: int = 5) -> None:
+    """Interleaved A/B protocol: alternate the levels within ONE quiet
+    window (lo, hi, lo, hi, …), one fresh-JVM warmed build each, and
+    compare per-level MEDIANS — so a noisy-neighbor phase hits both
+    levels equally instead of biasing whichever ran during it."""
     stage_corpus(docs)
+    samples: dict[int, list[dict]] = {c: [] for c in levels}
+    for rep in range(reps):
+        for cores in levels:
+            out = subprocess.run(
+                [sys.executable, os.path.abspath(__file__),
+                 "--cores", str(cores), "--docs", str(docs), "--runs", "1"],
+                capture_output=True, text=True, cwd=REPO, check=True,
+            )
+            line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
+            r = json.loads(line)
+            samples[cores].append(r)
+            print(f"rep {rep + 1}/{reps}: {line}", file=sys.stderr)
+
     results = {}
     for cores in levels:
-        out = subprocess.run(
-            [sys.executable, os.path.abspath(__file__),
-             "--cores", str(cores), "--docs", str(docs), "--runs", str(runs)],
-            capture_output=True, text=True, cwd=REPO, check=True,
-        )
-        line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
-        results[cores] = json.loads(line)
-        print(line, file=sys.stderr)
+        tputs = sorted(s["docs_per_sec"] for s in samples[cores])
+        med = statistics.median(tputs)
+        qmed = {
+            name: round(
+                statistics.median(s["query_p50"][name] for s in samples[cores]), 3
+            )
+            for name in samples[cores][0]["query_p50"]
+        }
+        results[cores] = {
+            "cores": cores,
+            "docs": samples[cores][0]["docs"],
+            "build_secs": round(
+                statistics.median(s["build_secs"] for s in samples[cores]), 3
+            ),
+            "docs_per_sec": round(med, 1),
+            "samples_docs_per_sec": tputs,
+            "query_p50": qmed,
+        }
 
     pairs = []
     for lo, hi in zip(levels, levels[1:]):
@@ -161,6 +188,7 @@ def run_wrapper(levels: list[int], docs: int, runs: int = 2) -> None:
         "pairs": pairs,
         "levels": results,
         "docs": docs,
+        "protocol": f"interleaved A/B, median of {reps} per level",
     }
     print(json.dumps(summary))
     _write_bench_md(summary)
@@ -170,7 +198,9 @@ def _write_bench_md(s: dict) -> None:
     levels = s["levels"]
     lrows = "\n".join(
         f"| local[{r['cores']}] | {r['docs']:,} | {r['build_secs']:.1f} "
-        f"| {r['docs_per_sec']:,.0f} |"
+        f"| {r['docs_per_sec']:,.0f} | "
+        + ", ".join(f"{t:,.0f}" for t in r["samples_docs_per_sec"])
+        + " |"
         for r in levels.values()
     )
     prows = "\n".join(
@@ -194,13 +224,16 @@ same staged {s['docs']:,}-doc web-page corpus (parquet), same
 `num_splits={NUM_SPLITS}`, `spark.sql.shuffle.partitions=
 {SHUFFLE_PARTITIONS}` (identical task graph) — run at several local
 parallelism levels, fresh JVM each, warmed up (JIT + python workers),
-best of 2 timed builds. The timed job is read → extract → tokenize →
+one timed build per JVM. The timed job is read → extract → tokenize →
 encode postings → publish.
+
+Protocol: {s.get('protocol', 'sequential')} — levels ALTERNATE within
+one window so VM noise hits both equally; medians compared.
 
 ## Index-build throughput
 
-| parallelism | docs | build wall (s) | throughput (docs/s) |
-|---|---|---|---|
+| parallelism | docs | build wall median (s) | throughput median (docs/s) | samples (docs/s, sorted) |
+|---|---|---|---|---|
 {lrows}
 
 ## Scaling efficiency (N → 4N)
@@ -240,13 +273,14 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--cores", type=int, default=None)
     ap.add_argument("--docs", type=int, default=1_000_000)
-    ap.add_argument("--levels", default="2,8,32")
-    ap.add_argument("--runs", type=int, default=2)
+    ap.add_argument("--levels", default="2,8")
+    ap.add_argument("--runs", type=int, default=1)
+    ap.add_argument("--reps", type=int, default=5)
     args = ap.parse_args()
     if args.cores:
         run_worker(args.cores, args.docs, args.runs)
     else:
-        run_wrapper([int(x) for x in args.levels.split(",")], args.docs, args.runs)
+        run_wrapper([int(x) for x in args.levels.split(",")], args.docs, args.reps)
 
 
 if __name__ == "__main__":

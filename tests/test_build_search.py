@@ -142,3 +142,30 @@ def test_sort_by_undeclared_fast_field_raises(spark, built_index):
         search_df(
             spark, built_index, SearchRequest(query="word", sort_field="nope")
         )
+
+
+def test_twophase_doc_ids_equal_window(spark, corpus_rows):
+    """The range-partitioned two-phase doc-id assignment must produce
+    EXACTLY the window's ranks, for any boundary placement."""
+    import pandas as pd
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from quickwit_spark.operators.build import _assign_doc_ids
+
+    pdf = pd.DataFrame(corpus_rows[:250])[["url", "text"]]
+    df = spark.createDataFrame(pdf).withColumn(
+        "split_id", F.pmod(F.xxhash64("url"), F.lit(3)).cast("int")
+    ).withColumnRenamed("url", "key")
+    w = Window.partitionBy("split_id").orderBy("key")
+    want = {
+        (r["split_id"], r["key"]): r["doc_id"]
+        for r in df.withColumn(
+            "doc_id", F.row_number().over(w) - F.lit(1)
+        ).collect()
+    }
+    docs, parent = _assign_doc_ids(spark, df, 3)  # 3 < 8 parts → twophase
+    assert parent is not None
+    got = {(r["split_id"], r["key"]): r["doc_id"] for r in docs.collect()}
+    parent.unpersist()
+    assert got == want
