@@ -432,6 +432,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["simhash"] = simhash_q
 
+    def near_dup_pipeline(spark, sf_dir):
+        # the full chain: LSH candidates (mega-bucket cap 50) →
+        # exact Jaccard verify → connected components → canonical
+        d = _docs(spark, sf_dir).filter(F.col("doc_id") < 100)
+        return dedup.near_dup_groups(
+            d, num_hashes=6, shingle_k=1, bands=3, rows_per_band=2,
+            threshold=0.5, max_bucket_size=50,
+        ).withColumnRenamed("key", "doc_id")
+
+    q["near_dup_groups"] = near_dup_pipeline
+
     # ---- similarity search over embeddings ----
     def ann_cosine_topk(spark, sf_dir):
         e = _emb(spark, sf_dir)
@@ -779,6 +790,74 @@ FROM inter i
 JOIN sizes sa ON sa.doc_id = i.key_a
 JOIN sizes sb ON sb.doc_id = i.key_b
 WHERE CAST(i.n_common AS DOUBLE) / (sa.sz + sb.sz - i.n_common) >= 0.5
+"""
+
+    # near_dup_groups: same chain in SQL; components via a recursive
+    # min-reachability closure (groups are small, closure is cheap)
+    o["near_dup_groups"] = "WITH RECURSIVE " + _shingle_sql(max_doc=100, k=1).removeprefix("WITH ") + """
+, sigs AS (
+  SELECT doc_id,
+""" + ",\n".join(
+        f"    min(md5('{i}|' || shingle)) AS mh_{i}" for i in range(6)
+    ) + """
+  FROM shingles GROUP BY doc_id
+),
+bandsx AS (
+  SELECT doc_id, 0 AS band_id, md5(mh_0 || '|' || mh_1) AS band_hash FROM sigs
+  UNION ALL
+  SELECT doc_id, 1, md5(mh_2 || '|' || mh_3) FROM sigs
+  UNION ALL
+  SELECT doc_id, 2, md5(mh_4 || '|' || mh_5) FROM sigs
+),
+bsz AS (
+  SELECT band_id, band_hash, count(*) AS n FROM bandsx GROUP BY 1, 2
+),
+bands_f AS (
+  SELECT b.doc_id, b.band_id, b.band_hash
+  FROM bandsx b JOIN bsz z ON z.band_id = b.band_id AND z.band_hash = b.band_hash
+  WHERE z.n <= 50
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS key_a, b.doc_id AS key_b
+  FROM bands_f a JOIN bands_f b
+    ON a.band_id = b.band_id AND a.band_hash = b.band_hash
+   AND a.doc_id < b.doc_id
+),
+ckeys AS (SELECT key_a AS k FROM cand UNION SELECT key_b FROM cand),
+csh AS (SELECT * FROM shingles WHERE doc_id IN (SELECT k FROM ckeys)),
+sizes AS (SELECT doc_id, count(*) AS sz FROM csh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS key_a, b.doc_id AS key_b, count(*) AS n_common
+  FROM csh a JOIN csh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+ver AS (
+  SELECT i.key_a, i.key_b
+  FROM inter i
+  JOIN cand c ON c.key_a = i.key_a AND c.key_b = i.key_b
+  JOIN sizes sa ON sa.doc_id = i.key_a
+  JOIN sizes sb ON sb.doc_id = i.key_b
+  WHERE round(CAST(i.n_common AS DOUBLE) / (sa.sz + sb.sz - i.n_common), 6) >= 0.5
+),
+sym AS (
+  SELECT key_a AS s, key_b AS d FROM ver
+  UNION SELECT key_b, key_a FROM ver
+),
+reach(src, dst) AS (
+  SELECT DISTINCT s, s FROM sym
+  UNION
+  SELECT r.src, y.d FROM reach r JOIN sym y ON y.s = r.dst
+),
+comp AS (SELECT src AS key, min(dst) AS comp FROM reach GROUP BY src),
+labeled AS (
+  SELECT d.doc_id, coalesce(c.comp, d.doc_id) AS group_id
+  FROM documents d LEFT JOIN comp c ON c.key = d.doc_id
+  WHERE d.doc_id < 100
+)
+SELECT doc_id, group_id,
+       count(*) OVER (PARTITION BY group_id) AS group_size,
+       doc_id = group_id AS is_canonical
+FROM labeled
 """
 
     bit_sums = ",\n".join(

@@ -58,8 +58,10 @@ def cmd_ingest(args) -> int:
     from quickwit_spark.operators.build import add_documents, build_index
     from quickwit_spark.plans.metastore import Metastore
 
+    from quickwit_spark.sources.tables import read_table
+
     spark = get_spark("qws-ingest")
-    df = spark.read.format(args.format).load(args.input)
+    df = read_table(spark, args.input, format=args.format)
     ms = Metastore(args.index)
     if args.position is not None:
         # --position must be exactly-once-guarded even for the FIRST
@@ -214,8 +216,8 @@ def main(argv: list[str] | None = None) -> int:
 
     c = sub.add_parser("ingest", help="index a parquet/json input")
     c.add_argument("--index", required=True)
-    c.add_argument("--input", required=True)
-    c.add_argument("--format", default="parquet")
+    c.add_argument("--input", required=True, help="parquet path or iceberg table")
+    c.add_argument("--format", default="auto", help="auto|parquet|iceberg|json|...")
     c.add_argument("--config", help="config JSON (first ingest only)")
     c.add_argument("--num-splits", type=int, default=None)
     c.add_argument("--position", default=None, help="source position")

@@ -81,13 +81,20 @@ def minhash_signatures(
 
 
 def lsh_candidate_pairs(
-    signatures: DataFrame, bands: int = 4, rows_per_band: int = 3
+    signatures: DataFrame,
+    bands: int = 4,
+    rows_per_band: int = 3,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Docs sharing ≥1 LSH band → (key_a < key_b) candidate pairs.
 
     Self-join shuffles only on (band_id, band_hash) — never all
     pairs. Identical docs collide in every band; near-dups in ≥1
-    with high probability.
+    with high probability. ``max_bucket_size`` drops mega-buckets
+    (boilerplate that hashes thousands of docs into one band value)
+    BEFORE the self-join — an m-doc bucket contributes m² pairs, so
+    one boilerplate bucket otherwise dominates the whole job; capped
+    docs still pair through their other, more selective bands.
     """
     band_cols = []
     for b in range(bands):
@@ -98,6 +105,15 @@ def lsh_candidate_pairs(
     exploded = signatures.select(
         "key", F.explode(F.array(*band_cols)).alias("band")
     ).select("key", "band.band_id", "band.band_hash")
+    if max_bucket_size is not None:
+        from pyspark.sql import Window
+
+        wcnt = Window.partitionBy("band_id", "band_hash")
+        exploded = (
+            exploded.withColumn("__bsz", F.count("*").over(wcnt))
+            .filter(F.col("__bsz") <= max_bucket_size)
+            .drop("__bsz")
+        )
     a = exploded.alias("a")
     b = exploded.alias("b")
     return (
@@ -211,3 +227,140 @@ def simhash_near_pairs(sig_df: DataFrame, max_hamming: int = 3) -> DataFrame:
     return cand.withColumn("hamming", ham).filter(
         F.col("hamming") <= max_hamming
     ).select("key_a", "key_b", "hamming")
+
+
+def connected_components(
+    edges: DataFrame,
+    key_a: str = "key_a",
+    key_b: str = "key_b",
+    max_iter: int = 50,
+) -> DataFrame:
+    """(key, comp) for every vertex of ``edges``; comp = MIN key
+    reachable from it (so the component label IS its canonical doc).
+
+    Iterative min-label propagation: each round every vertex takes
+    the minimum of its own and its neighbors' labels — one shuffle
+    per round, converging in O(graph diameter) rounds (dedup groups
+    are shallow: near-clique clusters converge in 2-3).
+    ``localCheckpoint`` truncates the growing plan each round.
+    """
+    sym = (
+        edges.select(F.col(key_a).alias("src"), F.col(key_b).alias("dst"))
+        .unionByName(
+            edges.select(F.col(key_b).alias("src"), F.col(key_a).alias("dst"))
+        )
+        .distinct()
+    )
+    sym = sym.localCheckpoint()
+    labels = (
+        sym.select(F.col("src").alias("key"))
+        .distinct()
+        .withColumn("comp", F.col("key"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iter):
+        neigh = (
+            sym.join(labels.withColumnRenamed("key", "dst"), "dst")
+            .groupBy("src")
+            .agg(F.min("comp").alias("ncomp"))
+            .withColumnRenamed("src", "key")
+        )
+        new = (
+            labels.join(neigh, "key", "left")
+            .select(
+                "key",
+                F.least(
+                    F.col("comp"), F.coalesce(F.col("ncomp"), F.col("comp"))
+                ).alias("comp"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new.withColumnRenamed("comp", "ncomp2")
+            .join(labels, "key")
+            .filter(F.col("ncomp2") != F.col("comp"))
+            .count()
+        )
+        labels = new
+        if changed == 0:
+            break
+    return labels
+
+
+def near_dup_groups(
+    df: DataFrame,
+    text_col: str = "text",
+    key_col: str = "doc_id",
+    num_hashes: int = 6,
+    shingle_k: int = 1,
+    bands: int = 3,
+    rows_per_band: int = 2,
+    threshold: float = 0.5,
+    max_bucket_size: int | None = None,
+) -> DataFrame:
+    """The full near-dup pipeline a 100 TB training-data run needs,
+    as ONE operator: MinHash signatures → LSH candidate pairs (with
+    the mega-bucket cap) → exact n-gram-Jaccard verification of ONLY
+    the candidates → connected components → canonical-doc selection.
+
+    Returns one row per input doc: ``(key, group_id, group_size,
+    is_canonical)`` where group_id = min key of the doc's near-dup
+    component (its own key when unpaired) — ``filter(is_canonical)``
+    is the deduplicated corpus.
+    """
+    sigs = minhash_signatures(df, text_col, key_col, num_hashes, shingle_k)
+    cand = lsh_candidate_pairs(
+        sigs, bands, rows_per_band, max_bucket_size=max_bucket_size
+    )
+    # exact verification restricted to candidate docs/pairs
+    sh = df.select(
+        F.col(key_col).alias("key"),
+        F.explode(shingle_col(F.col(text_col), shingle_k)).alias("shingle"),
+    )
+    ckeys = (
+        cand.select(F.col("key_a").alias("key"))
+        .unionByName(cand.select(F.col("key_b").alias("key")))
+        .distinct()
+    )
+    csh = sh.join(ckeys, "key", "left_semi")
+    sizes = csh.groupBy("key").agg(F.count("*").alias("sz"))
+    a, b = csh.alias("a"), csh.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.key") < F.col("b.key")),
+        )
+        .groupBy(F.col("a.key").alias("key_a"), F.col("b.key").alias("key_b"))
+        .agg(F.count("*").alias("n_common"))
+        .join(cand, ["key_a", "key_b"], "left_semi")
+    )
+    sa = sizes.select(F.col("key").alias("key_a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col("key").alias("key_b"), F.col("sz").alias("sz_b"))
+    verified = (
+        inter.join(sa, "key_a")
+        .join(sb, "key_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("n_common")
+                / (F.col("sz_a") + F.col("sz_b") - F.col("n_common")),
+                6,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("key_a", "key_b")
+    )
+    comps = connected_components(verified)
+    from pyspark.sql import Window
+
+    out = (
+        df.select(F.col(key_col).alias("key"))
+        .join(comps, "key", "left")
+        .withColumn("group_id", F.coalesce(F.col("comp"), F.col("key")))
+        .drop("comp")
+    )
+    w = Window.partitionBy("group_id")
+    return out.withColumn("group_size", F.count("*").over(w)).withColumn(
+        "is_canonical", F.col("key") == F.col("group_id")
+    )

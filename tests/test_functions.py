@@ -201,3 +201,57 @@ def test_search_stream(spark, built_index, oracle_index):
     rows = out.collect()
     assert len(rows) == oracle_index.count("hot")
     assert set(out.columns) == {"len_text", "lang"}
+
+
+def test_connected_components_chain_and_clique(spark):
+    from quickwit_spark.functions.dedup import connected_components
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (11, 10), (20, 21), (21, 22), (20, 22)],
+        "key_a long, key_b long",
+    )
+    comp = {
+        r["key"]: r["comp"] for r in connected_components(edges).collect()
+    }
+    assert comp == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20, 21: 20, 22: 20}
+
+
+def test_near_dup_groups_pipeline(spark):
+    from quickwit_spark.functions.dedup import near_dup_groups
+
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog"),
+        (1, "the quick brown fox jumps over the lazy cat"),  # near-dup of 0
+        (2, "the quick brown fox leaps over the lazy dog"),  # near-dup of 0/1
+        (3, "completely different text about spark engines"),
+        (4, "completely different text about spark engines"),  # exact dup of 3
+        (5, "unrelated single document standing alone here"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = near_dup_groups(
+        df, num_hashes=6, shingle_k=2, bands=3, rows_per_band=2, threshold=0.5
+    )
+    got = {r["key"]: (r["group_id"], r["group_size"], r["is_canonical"])
+           for r in out.collect()}
+    assert got[0] == (0, 3, True)
+    assert got[1] == (0, 3, False)
+    assert got[2] == (0, 3, False)
+    assert got[3] == (3, 2, True)
+    assert got[4] == (3, 2, False)
+    assert got[5] == (5, 1, True)
+
+
+def test_lsh_mega_bucket_cap(spark):
+    from quickwit_spark.functions.dedup import (
+        lsh_candidate_pairs,
+        minhash_signatures,
+    )
+
+    # 30 identical docs → every band is one 30-doc mega-bucket
+    rows = [(i, "same boilerplate text everywhere") for i in range(30)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    sigs = minhash_signatures(df, num_hashes=6, k=2)
+    uncapped = lsh_candidate_pairs(sigs, bands=3, rows_per_band=2)
+    assert uncapped.count() == 30 * 29 // 2
+    capped = lsh_candidate_pairs(sigs, bands=3, rows_per_band=2, max_bucket_size=10)
+    assert capped.count() == 0  # bucket dropped entirely
