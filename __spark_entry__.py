@@ -29,9 +29,11 @@ from pyspark.sql import functions as F
 # shared SQL fragments (tokenization + BM25, mirroring the engine)
 # --------------------------------------------------------------------
 
-_TOKS_CTE = """
+_TOKS_CTE = r"""
 base AS (
-  SELECT doc_id, regexp_split_to_array(lower(text), '[^a-z0-9]+') AS arr
+  -- same Unicode classes as the engine tokenizer (analysis.py:40):
+  -- RE2 \p{L}\p{N} in DuckDB == Java \p{L}\p{N} in Spark
+  SELECT doc_id, regexp_split_to_array(lower(text), '[^\p{L}\p{N}]+') AS arr
   FROM documents
 ),
 toks AS (
