@@ -56,7 +56,7 @@ def p50(fn, runs: int = 3) -> float:
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS")
-    n_docs = int(os.environ.get("QWS_BENCH_DOCS", "50000"))
+    n_docs = int(os.environ.get("QWS_BENCH_DOCS", "200000"))
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else 0.0
 
     spark = get_spark("bench", cores=int(cpus) if cpus else None)
@@ -87,6 +87,11 @@ def main() -> None:
             queries[name] = round(
                 p50(lambda: search_df(spark, index_dir, req).collect()), 3
             )
+        # engine-native fast-field sort (packed ts blob, no client join)
+        sort_req = SearchRequest(query="word", k=10, sort_field="warc_ts")
+        queries["q_sort_ff"] = round(
+            p50(lambda: search_df(spark, index_dir, sort_req).collect()), 3
+        )
 
         # ---- training-data ops on driver sf tables ----
         docs_path = os.path.join(sf_dir, "documents.parquet")
