@@ -16,6 +16,10 @@ unit tests exercise directly. Capability map (SURVEY.md §2.6):
   docs, blocks whose score upper bound (from per-block max_tf and
   the split's best norm) can't beat the threshold are not decoded
   (num_hits stays exact: it equals doc_freq);
+- multi-term OR top-k uses block-max WAND (``_topk_or_wand``):
+  sparse terms decode as exact point masses, heavy terms prune at
+  block granularity; requires ``count_exact=False`` (top-k-only
+  requests) since pruning forfeits the exact union count;
 - deterministic tie-break ``(score desc, doc_id asc)`` per split;
   global order adds split_id (lib.rs:99-104 parity).
 """
