@@ -42,7 +42,6 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
-from pyspark.sql import types as T
 
 from quickwit_spark.operators.analysis import tokenize_col
 from quickwit_spark.operators.fieldnorm import fieldnorm_to_id
@@ -376,10 +375,14 @@ def add_documents(
 
 
 def _assign_doc_ids(
-    spark: SparkSession, pre: DataFrame, num_splits: int
+    spark: SparkSession,
+    pre: DataFrame,
+    num_splits: int,
+    order_cols: tuple[str, ...] = ("key",),
 ) -> tuple[DataFrame, DataFrame | None]:
-    """Deterministic dense per-split doc ids = rank of ``key`` within
-    the split (the engine's stable tie-break key; oracle parity).
+    """Deterministic dense per-split doc ids = rank of ``order_cols``
+    within the split (default: the doc key — the engine's stable
+    tie-break; with index sorting, ``(sort_by_field, key)``).
 
     Two strategies, chosen by shape:
 
@@ -391,22 +394,24 @@ def _assign_doc_ids(
       would serialize the build): range-repartition by (split_id,
       key) into the full shuffle parallelism, count rows per
       (partition, split) in one cheap job over the persisted exchange,
-      cumsum the offsets on the driver, then assign
-      ``offset + arange`` per partition with ``mapInPandas``. The
-      global rank is invariant to where the range boundaries fall, so
-      the result is identical to the window's.
+      cumsum the offsets on the driver, then add them to a local
+      rank windowed by (partition, split) — all JVM-side. The global
+      rank is invariant to where the range boundaries fall, so the
+      result is identical to the window's.
 
     Returns ``(docs, persisted_parent_or_None)`` — caller unpersists
     the parent after ``docs`` is cached.
     """
+    cores = spark.sparkContext.defaultParallelism
     shuffle_parts = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
-    if num_splits >= shuffle_parts:
-        w = Window.partitionBy("split_id").orderBy("key")
+    if num_splits >= cores:
+        # one task per split already saturates the executors
+        w = Window.partitionBy("split_id").orderBy(*order_cols)
         return pre.withColumn("doc_id", F.row_number().over(w) - F.lit(1)), None
 
     sorted_pre = (
-        pre.repartitionByRange(shuffle_parts, "split_id", "key")
-        .sortWithinPartitions("split_id", "key")
+        pre.repartitionByRange(shuffle_parts, "split_id", *order_cols)
+        .sortWithinPartitions("split_id", *order_cols)
         .withColumn("__pid", F.spark_partition_id())
     )
     sorted_pre.persist()
@@ -420,41 +425,27 @@ def _assign_doc_ids(
         by_split.setdefault(int(r["split_id"]), []).append(
             (int(r["__pid"]), int(r["n"]))
         )
-    offsets: dict[tuple[int, int], int] = {}
+    offsets = []
     for sid, parts in by_split.items():
         acc = 0
         for pid, n in sorted(parts):
-            offsets[(pid, sid)] = acc
+            offsets.append((pid, sid, acc))
             acc += n
-
-    out_schema = T.StructType(
-        [f for f in sorted_pre.schema.fields if f.name != "__pid"]
-        + [T.StructField("doc_id", T.IntegerType(), False)]
+    offs_df = F.broadcast(
+        spark.createDataFrame(offsets, "__pid int, split_id int, __off long")
     )
-
-    def _assign(batches):
-        seen: dict[int, int] = {}
-        for pdf in batches:
-            if len(pdf) == 0:
-                continue
-            pid = int(pdf["__pid"].iloc[0])
-            ids = np.empty(len(pdf), dtype=np.int32)
-            sids = pdf["split_id"].to_numpy()
-            # split groups are contiguous (partition sorted by split)
-            starts = np.flatnonzero(
-                np.concatenate(([True], sids[1:] != sids[:-1]))
-            )
-            ends = np.append(starts[1:], len(pdf))
-            for s, e in zip(starts, ends):
-                sid = int(sids[s])
-                base = offsets[(pid, sid)] + seen.get(sid, 0)
-                ids[s:e] = np.arange(base, base + (e - s), dtype=np.int32)
-                seen[sid] = seen.get(sid, 0) + (e - s)
-            pdf = pdf.drop(columns=["__pid"])
-            pdf["doc_id"] = ids
-            yield pdf
-
-    return sorted_pre.mapInPandas(_assign, out_schema), sorted_pre
+    # local rank inside each (partition, split) slice + driver-computed
+    # slice offset = global rank within the split. Stays entirely
+    # JVM-side (the window groups are the already-sorted cached
+    # slices; no Arrow round-trip of the token arrays).
+    w2 = Window.partitionBy("__pid", "split_id").orderBy(*order_cols)
+    docs = (
+        sorted_pre.withColumn("__rn", F.row_number().over(w2) - F.lit(1))
+        .join(offs_df, ["__pid", "split_id"])
+        .withColumn("doc_id", (F.col("__off") + F.col("__rn")).cast("int"))
+        .drop("__pid", "__rn", "__off")
+    )
+    return docs, sorted_pre
 
 
 def _execute_build(
@@ -499,7 +490,17 @@ def _execute_build(
         for fc in config.indexed_fields
     ])
 
-    docs, id_parent = _assign_doc_ids(spark, pre, len(todo))
+    sort_field = config.sort_by_field
+    if sort_field in (None, "key", config.key_field):
+        order_cols = ("key",)  # key order is the default index sort
+    else:
+        if sort_field not in pre.columns:
+            raise ValueError(
+                f"sort_by_field {sort_field!r} must be the timestamp field "
+                "or a declared fast field (it is packed into the docmap)"
+            )
+        order_cols = (sort_field, "key")
+    docs, id_parent = _assign_doc_ids(spark, pre, len(todo), order_cols)
     docs.cache()
 
     # ---- docmap (doc store + fast fields + fieldnorms) ----

@@ -33,18 +33,15 @@ from __future__ import annotations
 
 import time
 
-import numpy as np
-import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from quickwit_spark.operators.build import write_fastfields
-from quickwit_spark.operators.codec import (
-    decode_posting_list,
-    decode_positions,
-    encode_posting_list,
+from quickwit_spark.operators.merge import (
+    POSTINGS_SCHEMA,
+    merge_partial_postings,
+    remap_postings_fn,
 )
-from quickwit_spark.operators.merge import POSTINGS_SCHEMA, merge_partial_postings
 from quickwit_spark.plans.metastore import Metastore, SplitMetadata
 
 
@@ -139,62 +136,10 @@ def demux_splits(
         F.col("split_id").isin(in_ids)
     )
 
-    def _remap(key, post_pdf: pd.DataFrame, map_pdf: pd.DataFrame) -> pd.DataFrame:
-        if len(post_pdf) == 0 or len(map_pdf) == 0:
-            return pd.DataFrame(
-                columns=[
-                    "split_id", "field", "term", "doc_freq", "total_tf",
-                    "doc_bytes", "tf_bytes", "skip_bytes", "pos_bytes",
-                ]
-            )
-        n_docs = int(map_pdf["doc_id"].max()) + 1
-        to_split = np.zeros(n_docs, dtype=np.int64)
-        to_doc = np.zeros(n_docs, dtype=np.int64)
-        od = map_pdf["doc_id"].to_numpy()
-        to_split[od] = map_pdf["new_split"].to_numpy()
-        to_doc[od] = map_pdf["new_doc"].to_numpy()
-        rows = []
-        for r in post_pdf.itertuples(index=False):
-            docs, tfs = decode_posting_list(
-                r.doc_bytes, r.tf_bytes, int(r.doc_freq)
-            )
-            docs = docs.astype(np.int64)
-            pos = (
-                decode_positions(r.pos_bytes, tfs)
-                if r.pos_bytes is not None
-                else None
-            )
-            tgt_split = to_split[docs]
-            tgt_doc = to_doc[docs]
-            for ns in np.unique(tgt_split):
-                sel = tgt_split == ns
-                d, t = tgt_doc[sel], tfs[sel]
-                order = np.argsort(d, kind="mergesort")
-                d, t = d[order], t[order]
-                p = None
-                if pos is not None:
-                    idx = np.flatnonzero(sel)[order]
-                    p = [pos[i] for i in idx]
-                enc = encode_posting_list(d.astype(np.uint64), t, p)
-                rows.append(
-                    (
-                        int(ns), r.field, r.term, int(d.size), int(t.sum()),
-                        enc["doc_bytes"], enc["tf_bytes"], enc["skip_bytes"],
-                        enc.get("pos_bytes"),
-                    )
-                )
-        return pd.DataFrame(
-            rows,
-            columns=[
-                "split_id", "field", "term", "doc_freq", "total_tf",
-                "doc_bytes", "tf_bytes", "skip_bytes", "pos_bytes",
-            ],
-        )
-
     partials = (
         postings.groupBy("split_id")
         .cogroup(mapping.groupBy("split_id"))
-        .applyInPandas(_remap, POSTINGS_SCHEMA)
+        .applyInPandas(remap_postings_fn, POSTINGS_SCHEMA)
     )
     merged = merge_partial_postings(partials, term_buckets)
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")

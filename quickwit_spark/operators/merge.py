@@ -74,6 +74,15 @@ def _merge_term_rows(pdf: pd.DataFrame, rebase: dict[int, int] | None) -> pd.Dat
             positions = []
             for i in order:
                 positions.extend(pos_parts[i])
+        if docs.size > 1 and not (np.diff(docs) > 0).all():
+            # sorted-index merge: partials interleave in doc space
+            # (the remap permutes docs globally by the sort field), so
+            # finish with a real k-way merge — doc ids are unique
+            # across partials, a stable sort is the merge
+            perm = np.argsort(docs, kind="mergesort")
+            docs, tfs = docs[perm], tfs[perm]
+            if positions is not None:
+                positions = [positions[i] for i in perm]
         enc = encode_posting_list(docs.astype(np.uint64), tfs, positions)
         out_rows.append(
             (
@@ -89,6 +98,62 @@ def _merge_term_rows(pdf: pd.DataFrame, rebase: dict[int, int] | None) -> pd.Dat
             "doc_bytes", "tf_bytes", "skip_bytes", "pos_bytes",
         ],
     )
+
+
+def remap_postings_fn(key, post_pdf: pd.DataFrame, map_pdf: pd.DataFrame) -> pd.DataFrame:
+    """Cogrouped per input split: decode each posting list, remap its
+    doc ids through the (doc_id -> new_split, new_doc) mapping, and
+    emit one PARTIAL posting row per (output split, term). Partials
+    are disjoint contiguous runs when the mapping keeps each input
+    split's docs in relative order (demux) or re-sorts globally
+    (sorted merge) — either way merge_partial_postings finishes the
+    k-way merge. Shared by demux and the sorted merge path."""
+    cols = [
+        "split_id", "field", "term", "doc_freq", "total_tf",
+        "doc_bytes", "tf_bytes", "skip_bytes", "pos_bytes",
+    ]
+    if len(post_pdf) == 0 or len(map_pdf) == 0:
+        return pd.DataFrame(columns=cols)
+    n_docs = int(map_pdf["doc_id"].max()) + 1
+    to_split = np.full(n_docs, -1, dtype=np.int64)
+    to_doc = np.full(n_docs, -1, dtype=np.int64)
+    od = map_pdf["doc_id"].to_numpy()
+    to_split[od] = map_pdf["new_split"].to_numpy()
+    to_doc[od] = map_pdf["new_doc"].to_numpy()
+    rows = []
+    for r in post_pdf.itertuples(index=False):
+        docs, tfs = decode_posting_list(r.doc_bytes, r.tf_bytes, int(r.doc_freq))
+        docs = docs.astype(np.int64)
+        pos = (
+            decode_positions(r.pos_bytes, tfs)
+            if r.pos_bytes is not None
+            else None
+        )
+        tgt_split = to_split[docs]
+        tgt_doc = to_doc[docs]
+        if (tgt_split < 0).any():
+            raise ValueError(
+                f"postings reference doc ids missing from the docmap "
+                f"mapping (split {r.split_id}, term {r.term!r})"
+            )
+        for ns in np.unique(tgt_split):
+            sel = tgt_split == ns
+            d, t = tgt_doc[sel], tfs[sel]
+            order = np.argsort(d, kind="mergesort")
+            d, t = d[order], t[order]
+            p = None
+            if pos is not None:
+                idx = np.flatnonzero(sel)[order]
+                p = [pos[i] for i in idx]
+            enc = encode_posting_list(d.astype(np.uint64), t, p)
+            rows.append(
+                (
+                    int(ns), r.field, r.term, int(d.size), int(t.sum()),
+                    enc["doc_bytes"], enc["tf_bytes"], enc["skip_bytes"],
+                    enc.get("pos_bytes"),
+                )
+            )
+    return pd.DataFrame(rows, columns=cols)
 
 
 def merge_partial_postings(encoded: DataFrame, term_buckets: int) -> DataFrame:
@@ -120,6 +185,10 @@ def merge_splits(
 
     in_ids = sorted(int(s.split_id) for s in inputs)
     new_sid = max(int(s.split_id) for s in ms.splits()) + 1
+    if config.sort_by_field:
+        return _merge_splits_sorted(
+            spark, ms, config, inputs, in_ids, new_sid, term_buckets
+        )
     rebase, acc = {}, 0
     for sid in in_ids:
         rebase[sid] = acc
@@ -191,6 +260,15 @@ def merge_splits(
     )
 
     # ---- metadata union + atomic replace ----
+    meta = _union_meta(config, inputs, new_sid)
+    ms.stage_splits([meta])
+    ms.publish_splits(
+        [meta.split_id], replaced_split_ids=[s.split_id for s in inputs]
+    )
+    return meta
+
+
+def _union_meta(config, inputs, new_sid) -> SplitMetadata:
     tr = None
     ranges = [m.time_range for m in inputs if m.time_range]
     if ranges:
@@ -210,7 +288,7 @@ def merge_splits(
     for m in inputs:
         for f, v in m.total_tokens.items():
             total_tokens[f] = total_tokens.get(f, 0) + v
-    meta = SplitMetadata(
+    return SplitMetadata(
         split_id=str(new_sid),
         num_docs=sum(m.num_docs for m in inputs),
         total_tokens=total_tokens,
@@ -219,6 +297,75 @@ def merge_splits(
         merge_ops=max(m.merge_ops for m in inputs) + 1,
         lineage={"merged_from": [s.split_id for s in inputs], "ts": time.time()},
     )
+
+
+def _merge_splits_sorted(
+    spark: SparkSession,
+    ms: Metastore,
+    config,
+    inputs: list[SplitMetadata],
+    in_ids: list[int],
+    new_sid: int,
+    term_buckets: int,
+) -> SplitMetadata:
+    """Merge for a SORTED index (config.sort_by_field): the output
+    split's doc ids follow the global (sort field, key) order across
+    all inputs, preserving the index-sorting invariant — the
+    reference's sorted segment merge (indexer.rs:99-103 index sorting
+    + merge_executor doc mapping). The global rank window is one
+    task, which is reference parity: one MergeExecutor process owns a
+    merge op; the postings rewrite itself fans out per input split
+    and term bucket."""
+    from pyspark.sql import Window
+
+    from quickwit_spark.operators.build import write_fastfields
+
+    docmap_in = spark.read.parquet(ms.docmap_dir()).filter(
+        F.col("split_id").isin(in_ids)
+    )
+    w = Window.orderBy(F.col(config.sort_by_field), F.col("key"))
+    mapped = docmap_in.withColumn("new_doc", F.row_number().over(w) - F.lit(1))
+    mapped = mapped.withColumn("new_split", F.lit(new_sid))
+    mapped.cache()
+
+    mapping = mapped.select("split_id", "doc_id", "new_split", "new_doc")
+    postings = spark.read.parquet(ms.postings_dir()).filter(
+        F.col("split_id").isin(in_ids)
+    )
+    partials = (
+        postings.groupBy("split_id")
+        .cogroup(mapping.groupBy("split_id"))
+        .applyInPandas(remap_postings_fn, POSTINGS_SCHEMA)
+    )
+    merged = merge_partial_postings(partials, term_buckets)
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    (
+        merged.repartition("split_id")
+        .sortWithinPartitions("field", "term")
+        .write.partitionBy("split_id")
+        .mode("overwrite")
+        .parquet(ms.postings_dir())
+    )
+
+    new_docmap = (
+        mapped.drop("split_id", "doc_id")
+        .withColumnRenamed("new_split", "split_id")
+        .withColumnRenamed("new_doc", "doc_id")
+    )
+    (
+        new_docmap.repartition("split_id")
+        .sortWithinPartitions("doc_id")
+        .write.partitionBy("split_id")
+        .mode("overwrite")
+        .parquet(ms.docmap_dir())
+    )
+    new_docmap_r = spark.read.parquet(ms.docmap_dir()).filter(
+        F.col("split_id") == new_sid
+    )
+    write_fastfields(ms, config, new_docmap_r)
+    mapped.unpersist()
+
+    meta = _union_meta(config, inputs, new_sid)
     ms.stage_splits([meta])
     ms.publish_splits(
         [meta.split_id], replaced_split_ids=[s.split_id for s in inputs]

@@ -60,7 +60,16 @@ class OracleIndex:
             sid = pmod_split(str(row[config.key_field]), num_splits)
             by_split[sid].append(row)
         for sid, docs in by_split.items():
-            docs.sort(key=lambda r: str(r[config.key_field]))
+            if config.sort_by_field:
+                # index sorting: doc ids follow (sort field, key)
+                docs.sort(
+                    key=lambda r: (
+                        r[config.sort_by_field],
+                        str(r[config.key_field]),
+                    )
+                )
+            else:
+                docs.sort(key=lambda r: str(r[config.key_field]))
             sp = self.splits[sid]
             for doc_id, row in enumerate(docs):
                 sp.doc_keys.append(str(row[config.key_field]))

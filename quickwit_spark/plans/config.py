@@ -53,6 +53,11 @@ class IndexConfig:
     timestamp_field: str | None = None  # split time_range pruning
     tag_fields: tuple[str, ...] = ()  # split tag pruning
     fast_fields: tuple[str, ...] = ()  # columnar doc values
+    # index sorting (IndexSettings.sort_by_field, indexer.rs:99-103):
+    # doc ids within a split follow (sort_by_field, key) order, so
+    # e.g. a time-sorted index gets row-group min/max pruning on the
+    # docmap and a monotone ts fast-field blob
+    sort_by_field: str | None = None
     split_num_docs_target: int = 10_000_000
     merge_factor: int = 10
     max_merge_factor: int = 12
@@ -77,6 +82,7 @@ class IndexConfig:
             "timestamp_field": self.timestamp_field,
             "tag_fields": list(self.tag_fields),
             "fast_fields": list(self.fast_fields),
+            "sort_by_field": self.sort_by_field,
             "split_num_docs_target": self.split_num_docs_target,
             "merge_factor": self.merge_factor,
             "max_merge_factor": self.max_merge_factor,
@@ -93,6 +99,7 @@ class IndexConfig:
             timestamp_field=d.get("timestamp_field"),
             tag_fields=tuple(d.get("tag_fields", ())),
             fast_fields=tuple(d.get("fast_fields", ())),
+            sort_by_field=d.get("sort_by_field"),
             split_num_docs_target=d.get("split_num_docs_target", 10_000_000),
             merge_factor=d.get("merge_factor", 10),
             max_merge_factor=d.get("max_merge_factor", 12),
