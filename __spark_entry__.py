@@ -135,7 +135,12 @@ def _docs_index(spark: SparkSession, sf_dir: str) -> str:
     from quickwit_spark.operators.build import build_index
     from quickwit_spark.plans.metastore import Metastore
 
-    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    # cache key includes the CONFIG, so a format/schema change never
+    # reuses a stale index built by an older revision
+    cfg = _docs_config()
+    tag = hashlib.md5(
+        (sf_dir + "|" + repr(sorted(cfg.to_dict().items()))).encode()
+    ).hexdigest()[:10]
     index_dir = os.path.join("/tmp", f"qws_entry_idx_{tag}")
     ms = Metastore(index_dir)
     if not ms.exists():

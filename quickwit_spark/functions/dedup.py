@@ -153,9 +153,12 @@ def ngram_jaccard_pairs(
     )
     sa = sizes.select(F.col("key").alias("key_a"), F.col("sz").alias("sz_a"))
     sb = sizes.select(F.col("key").alias("key_b"), F.col("sz").alias("sz_b"))
+    # plain equi-joins: `sizes` is one row PER DOC, so at corpus scale
+    # it must not be broadcast (driver/executor OOM) — AQE still
+    # auto-broadcasts when the runtime size happens to be small
     out = (
-        inter.join(F.broadcast(sa), "key_a")
-        .join(F.broadcast(sb), "key_b")
+        inter.join(sa, "key_a")
+        .join(sb, "key_b")
         .withColumn(
             "jaccard",
             F.round(

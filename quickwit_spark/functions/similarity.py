@@ -72,9 +72,26 @@ def knn_join(
     k: int = 3,
     vec_col: str = "embedding",
     key_col: str = "vec_id",
+    max_probe_rows: int | None = 100_000,
 ) -> DataFrame:
     """Top-k corpus neighbors per probe row (probe ⨯ corpus with the
-    probe side broadcast; excludes self-matches)."""
+    probe side broadcast; excludes self-matches).
+
+    The broadcast is only valid for a bounded probe batch: every
+    executor holds the full probe set and scores it against its
+    corpus partitions. ``max_probe_rows`` guards that contract with a
+    cheap early-stopping count (``limit(n+1).count()`` — never a full
+    probe scan); pass ``None`` to skip for trusted callers. For
+    probe sets beyond the cap, use ``rp_lsh_ann`` (bucketed) instead.
+    """
+    if max_probe_rows is not None:
+        got = probes.limit(max_probe_rows + 1).count()
+        if got > max_probe_rows:
+            raise ValueError(
+                f"knn_join probe side exceeds max_probe_rows="
+                f"{max_probe_rows}; broadcasting it would not scale — "
+                "use rp_lsh_ann or raise the cap explicitly"
+            )
     p = probes.select(
         F.col(key_col).alias("probe_id"), F.col(vec_col).alias("probe_vec")
     )

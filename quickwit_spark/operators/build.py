@@ -468,6 +468,13 @@ def _execute_build(
     spark = df.sparkSession
     key = config.key_field
     t0 = time.time()
+    phase_secs: dict[str, float] = {}
+    _pt = [t0]
+
+    def _phase(name: str) -> None:
+        now = time.time()
+        phase_secs[name] = round(now - _pt[0], 3)
+        _pt[0] = now
 
     # tokenize BEFORE the per-split doc-id shuffle: the heavy regex
     # work runs once per field at full input parallelism, and the
@@ -526,12 +533,14 @@ def _execute_build(
         .mode("overwrite")
         .parquet(ms.docmap_dir())
     )
+    _phase("docmap")
 
     # ---- packed per-split fast-field blobs (tantivy-style columnar
     #      values: one binary cell per (split, column) — the query
     #      path reads these tiny rows instead of shuffling the whole
     #      docmap; docmap parquet remains the doc store) ----
     write_fastfields(ms, config, docmap)
+    _phase("fastfields")
 
     # ---- token rows → postings in ONE shuffle: raw (doc, term, pos)
     #      rows go straight to the bucket groups and the tf/positions
@@ -585,6 +594,7 @@ def _execute_build(
         .mode("overwrite")
         .parquet(ms.postings_dir())
     )
+    _phase("postings")
 
     # ---- per-split stats + tags → metadata (ONE pass over the
     #      cached docmap — tags ride the same agg) ----
@@ -602,6 +612,7 @@ def _execute_build(
             F.collect_set(F.col(f"tag_{tf_name}")).alias(f"tagset_{tf_name}")
         )
     stats = {r["split_id"]: r.asDict() for r in docmap.groupBy("split_id").agg(*aggs).collect()}
+    _phase("stats")
 
     tags: dict[int, dict[str, list[str]]] = {s: {} for s in stats}
     for sid, st in stats.items():
@@ -635,6 +646,7 @@ def _execute_build(
                 "source_id": source_id,
                 "build_wall_secs": round(build_secs, 3),
                 "num_splits_in_batch": len(todo),
+                "phase_secs": phase_secs,
             },
         )
         metas.append(meta)
