@@ -16,7 +16,7 @@ Shape of the job (all declarative until the final encode UDF):
    codegen; zero Python) → ``posexplode`` for positions.
 4. per-(split, term, doc) tf aggregation — Spark partial+final hash
    agg (map-side combine shrinks the shuffle).
-5. posting encode — ``applyInPandas`` over ``(split_id, bucket)``
+5. posting encode — ``applyInArrow`` over ``(split_id, bucket)``
    groups (bucket = hash of term) where numpy delta-gap + varbyte
    encodes each term's posting list with per-block skip data.
    Optionally two-phase with doc-range salting for hot terms
@@ -54,46 +54,91 @@ POSTINGS_SCHEMA = (
 )
 
 
-def _make_token_encoder(pos_fields: frozenset):
-    """Token-level batch encoder: raw (field, term, doc_id, pos) rows
-    → one encoded posting row per (field, term).
+def _make_token_encoder(field_names: list[str], pos_fields: frozenset):
+    """Token-level batch encoder: raw (field_id, term, doc_id, pos)
+    rows → one encoded posting row per (field, term).
 
-    Fully batch-vectorized: the tf/positions aggregation is a numpy
-    run-length pass over the sorted rows, and because varbyte streams
-    of consecutive values concatenate, ALL terms' gaps/tfs/positions
-    are encoded in ONE pass — each term's binary cell is a byte-slice
-    of the shared stream. The only per-term Python work is the
-    slicing (per-term numpy churn dominated build time before:
-    high-cardinality raw fields make every doc key its own df=1
-    term).
+    Arrow-native (``applyInArrow``): term strings NEVER become Python
+    objects — they are dictionary-encoded by Arrow's C++ kernel into
+    int32 codes (+ a small per-group vocabulary that Arrow sorts), so
+    the big sort is a pure-int ``np.lexsort`` and the output term
+    column is an Arrow ``take`` on the dictionary. The tf/positions
+    aggregation is a numpy run-length pass over the sorted rows, and
+    because varbyte streams of consecutive values concatenate, ALL
+    terms' gaps/tfs/positions are encoded in ONE pass — each term's
+    binary cell is a zero-copy offset slice of the shared stream
+    (the output binary columns are built ``from_buffers``, no
+    per-term Python slicing at all). This keeps the per-task cost
+    low enough that the encode stage stays CPU-bound and scales with
+    cores (the earlier pandas/object-string version saturated memory
+    bandwidth instead).
     """
+    import pyarrow as pa
+    import pyarrow.compute as pc
 
-    def encode(pdf: pd.DataFrame) -> pd.DataFrame:
+    pos_field_ids = np.array(
+        [i for i, f in enumerate(field_names) if f in pos_fields],
+        dtype=np.int8,
+    )
+    out_schema = pa.schema(
+        [
+            ("split_id", pa.int32()),
+            ("field", pa.string()),
+            ("term", pa.string()),
+            ("doc_freq", pa.int64()),
+            ("total_tf", pa.int64()),
+            ("doc_bytes", pa.binary()),
+            ("tf_bytes", pa.binary()),
+            ("skip_bytes", pa.binary()),
+            ("pos_bytes", pa.binary()),
+        ]
+    )
+
+    def _bin_from_slices(cum: np.ndarray, starts, ends, stream) -> pa.Array:
+        """Nullable-free binary array whose i-th cell is
+        stream[cum[starts[i]]:cum[ends[i]]] — contiguous slices, so
+        the values buffer is the stream itself (zero copy)."""
+        offsets = np.empty(starts.size + 1, dtype=np.int32)
+        offsets[:-1] = cum[starts]
+        offsets[-1] = cum[ends[-1]] if ends.size else 0
+        return pa.Array.from_buffers(
+            pa.binary(),
+            starts.size,
+            [None, pa.py_buffer(offsets), pa.py_buffer(stream)],
+        )
+
+    def encode(tbl: "pa.Table") -> "pa.Table":
         from quickwit_spark.operators.codec import (
             BLOCK_SIZE,
             _varbyte_lengths,
             varbyte_encode,
         )
 
-        cols = [
-            "split_id", "field", "term", "doc_freq", "total_tf",
-            "doc_bytes", "tf_bytes", "skip_bytes", "pos_bytes",
-        ]
-        n = len(pdf)
+        n = tbl.num_rows
         if n == 0:
-            return pd.DataFrame(columns=cols)
-        split_id = int(pdf["split_id"].iloc[0])
-        pdf = pdf.sort_values(
-            ["field", "term", "doc_id", "pos"], kind="mergesort"
-        )
-        fields = pdf["field"].to_numpy()
-        terms = pdf["term"].to_numpy()
-        rdocs = pdf["doc_id"].to_numpy(dtype=np.int64)
-        rpos = pdf["pos"].to_numpy(dtype=np.int64)
+            return out_schema.empty_table()
+        split_id = tbl.column("split_id")[0].as_py()
+        # dictionary-encode terms (Arrow C++ hash) → int codes + vocab
+        tc = pc.dictionary_encode(tbl.column("term").combine_chunks())
+        codes = tc.indices.to_numpy()
+        vocab = tc.dictionary
+        # lexicographic rank of each vocab entry (Arrow sort, C++)
+        vorder = pc.sort_indices(vocab).to_numpy()
+        vrank = np.empty(vorder.size, dtype=np.int32)
+        vrank[vorder] = np.arange(vorder.size, dtype=np.int32)
+        fid = tbl.column("field_id").to_numpy().astype(np.int8, copy=False)
+        rdocs = tbl.column("doc_id").to_numpy().astype(np.int64, copy=False)
+        rpos = tbl.column("pos").to_numpy().astype(np.int64, copy=False)
+
+        order = np.lexsort((rpos, rdocs, vrank[codes], fid))
+        fid = fid[order]
+        tcodes = codes[order]
+        rdocs = rdocs[order]
+        rpos = rpos[order]
 
         # run-length: rows → (term, doc) entries → term segments
         new_term = np.ones(n, dtype=bool)
-        new_term[1:] = (terms[1:] != terms[:-1]) | (fields[1:] != fields[:-1])
+        new_term[1:] = (tcodes[1:] != tcodes[:-1]) | (fid[1:] != fid[:-1])
         new_td = new_term.copy()
         new_td[1:] |= rdocs[1:] != rdocs[:-1]
         td_starts = np.flatnonzero(new_td)  # one per (term, doc)
@@ -137,45 +182,75 @@ def _make_token_encoder(pos_fields: frozenset):
         skip_bytes_all = skip.tobytes()  # 20 bytes per block row
 
         # ---- positions stream (rows of position-record fields) ----
-        mask_pos = np.isin(fields, list(pos_fields)) if pos_fields else None
-        pos_data = None
+        mask_pos = (
+            np.isin(fid, pos_field_ids) if pos_field_ids.size else None
+        )
+        # pos-rows strictly before row i (offset into the pos stream)
+        cum0 = np.zeros(n + 1, dtype=np.int64)
+        pos_stream = np.empty(0, dtype=np.uint8)
+        pcum = np.zeros(1, dtype=np.int64)
         if mask_pos is not None and mask_pos.any():
             flat = rpos[mask_pos].astype(np.uint64)
             pg = flat.copy()
             pg[1:] = flat[1:] - flat[:-1]
-            cum0 = np.concatenate(
-                ([0], np.cumsum(mask_pos))
-            )  # pos-rows before row i
+            np.cumsum(mask_pos, out=cum0[1:])
             mstarts = cum0[td_starts[mask_pos[td_starts]]]
             pg[mstarts] = flat[mstarts]  # absolute per doc
             pos_lens = _varbyte_lengths(pg)
             pos_stream = varbyte_encode(pg)
             pcum = np.concatenate(([0], np.cumsum(pos_lens)))
-            pos_data = (mask_pos, cum0, pos_stream, pcum)
 
-        # ---- per-term slicing (cheap Python loop) ----
-        rows = []
-        for t in range(T):
-            s, e = starts_td[t], ends_td[t]
-            rs, re_ = row_starts[t], row_ends[t]
-            pos_bytes = None
-            if pos_data is not None and pos_data[0][rs]:
-                mask_pos, cum0, pos_stream, pcum = pos_data
-                pos_bytes = pos_stream[pcum[cum0[rs]] : pcum[cum0[re_]]]
-            rows.append(
-                (
-                    split_id,
-                    fields[rs],
-                    terms[rs],
-                    int(e - s),
-                    int(re_ - rs),  # total_tf == token rows in the term
-                    doc_stream[doc_cum[s] : doc_cum[e]],
-                    tf_stream[tf_cum[s] : tf_cum[e]],
-                    skip_bytes_all[first_block[t] * 20 : first_block[t + 1] * 20],
-                    pos_bytes,
-                )
-            )
-        return pd.DataFrame(rows, columns=cols)
+        # ---- output columns, all vectorized / Arrow-side ----
+        # position fields sort first (field_id order), so per-term pos
+        # slices are contiguous; non-pos terms get an empty slice but
+        # are masked null via the validity bitmap
+        skip_cum = first_block.astype(np.int32) * 20
+        tidx = np.arange(T, dtype=np.int64)
+        valid = (
+            mask_pos[row_starts]
+            if mask_pos is not None
+            else np.zeros(T, dtype=bool)
+        )
+        pos_off = np.empty(T + 1, dtype=np.int32)
+        pos_off[:-1] = pcum[cum0[row_starts]]
+        pos_off[-1] = pcum[-1]
+        pos_arr = pa.Array.from_buffers(
+            pa.binary(),
+            T,
+            [
+                pa.py_buffer(np.packbits(valid, bitorder="little")),
+                pa.py_buffer(pos_off),
+                pa.py_buffer(pos_stream),
+            ],
+            null_count=int(T - valid.sum()),
+        )
+        field_arr = pc.take(
+            pa.array(field_names, type=pa.string()),
+            pa.array(fid[row_starts], type=pa.int8()),
+        )
+        term_arr = pc.take(vocab, pa.array(tcodes[row_starts]))
+        return pa.table(
+            {
+                "split_id": pa.array(
+                    np.full(T, split_id, dtype=np.int32), type=pa.int32()
+                ),
+                "field": field_arr,
+                "term": term_arr,
+                "doc_freq": pa.array(ends_td - starts_td, type=pa.int64()),
+                "total_tf": pa.array(row_ends - row_starts, type=pa.int64()),
+                "doc_bytes": _bin_from_slices(
+                    doc_cum, starts_td, ends_td, doc_stream
+                ),
+                "tf_bytes": _bin_from_slices(
+                    tf_cum, starts_td, ends_td, tf_stream
+                ),
+                "skip_bytes": _bin_from_slices(
+                    skip_cum, tidx, tidx + 1, skip_bytes_all
+                ),
+                "pos_bytes": pos_arr,
+            },
+            schema=out_schema,
+        )
 
     return encode
 
@@ -550,14 +625,18 @@ def _execute_build(
     pos_fields = frozenset(
         fc.name for fc in config.indexed_fields if fc.record == RECORD_POSITION
     )
+    field_names = [fc.name for fc in config.indexed_fields]
+    # field as a tinyint id: shrinks every shuffled token row and
+    # keeps the encoder's sort keys pure ints (strings are restored
+    # from the id on output)
     per_field = [
         docs.select(
             "split_id",
             "doc_id",
-            F.lit(fc.name).alias("field"),
+            F.lit(i).cast("tinyint").alias("field_id"),
             F.posexplode(f"toks_{fc.name}").alias("pos", "term"),
         )
-        for fc in config.indexed_fields
+        for i, fc in enumerate(config.indexed_fields)
     ]
     tok_rows = per_field[0]
     for other in per_field[1:]:
@@ -578,8 +657,8 @@ def _execute_build(
             "bucket", F.pmod(F.xxhash64("term"), F.lit(term_buckets))
         )
         group_cols = ["split_id", "bucket"]
-    encoder = _make_token_encoder(pos_fields)
-    encoded = tok_rows.groupBy(*group_cols).applyInPandas(
+    encoder = _make_token_encoder(field_names, pos_fields)
+    encoded = tok_rows.groupBy(*group_cols).applyInArrow(
         encoder, POSTINGS_SCHEMA
     )
     if salt_chunk:

@@ -44,6 +44,14 @@ def get_spark(
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # Spark 4's default 64MB arrow-batch byte cap makes every
+        # grouped applyInPandas/applyInArrow input call
+        # ArrowWriter.sizeInBytes() PER ROW (an O(#vectors) walk —
+        # measured ~60% of executor CPU in the posting-encode stage).
+        # The walk is skipped only when the cap is exactly
+        # Int.MaxValue; batch memory stays bounded by
+        # maxRecordsPerBatch (default 10k records).
+        .config("spark.sql.execution.arrow.maxBytesPerBatch", str(2**31 - 1))
         .config("spark.ui.enabled", "false")
         # v2 committer: tasks move their own output files on commit —
         # no driver-serial rename pass at the end of every write job
