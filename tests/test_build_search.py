@@ -169,3 +169,37 @@ def test_twophase_doc_ids_equal_window(spark, corpus_rows):
     got = {(r["split_id"], r["key"]): r["doc_id"] for r in docs.collect()}
     parent.unpersist()
     assert got == want
+
+
+def test_positions_field_not_first(spark, corpus_rows, tmp_path_factory):
+    """The encoder's positions stream must be correct when the
+    position-record field is NOT field id 0 (pos offsets are derived
+    from a running count over mixed-field sorted rows)."""
+    import pandas as pd
+
+    from quickwit_spark.operators.build import build_index
+    from quickwit_spark.oracle import OracleIndex
+    from quickwit_spark.plans.config import FieldConfig, webpages_config
+
+    config = webpages_config(
+        fields=(
+            FieldConfig("lang", tokenizer="raw", record="basic"),
+            FieldConfig("url", tokenizer="raw", record="basic"),
+            FieldConfig("text", tokenizer="default", record="position"),
+        ),
+    )
+    index_dir = str(tmp_path_factory.mktemp("idx_posorder"))
+    df = spark.createDataFrame(pd.DataFrame(corpus_rows))
+    metas = build_index(spark, df, index_dir, config, num_splits=3)
+    assert sum(m.num_docs for m in metas) == 400
+
+    oracle = OracleIndex(corpus_rows, config, num_splits=3)
+    for query in ['"of the"', "lang:de the", "word hot"]:
+        got = _spark_hits(spark, index_dir, query, k=10)
+        want = oracle.search(query, k=10)
+        assert want, f"dead test: oracle found nothing for {query!r}"
+        assert [(g[0], g[1]) for g in got] == [(w[0], w[1]) for w in want]
+        np.testing.assert_array_equal(
+            np.array([g[2] for g in got], dtype=np.float32),
+            np.array([w[2] for w in want], dtype=np.float32),
+        )
