@@ -551,26 +551,33 @@ def _execute_build(
         phase_secs[name] = round(now - _pt[0], 3)
         _pt[0] = now
 
-    # tokenize BEFORE the per-split doc-id shuffle: the heavy regex
-    # work runs once per field at full input parallelism, and the
-    # shuffle then carries token arrays instead of raw html/text.
-    # Each tokenizer expression appears exactly ONCE in the
-    # projection — len/norm derive from the cached arrays afterwards
-    # so Catalyst can't duplicate the regexp.
+    # The doc-id assignment exchange carries RAW source strings;
+    # tokenization happens right after it, straight into the cached
+    # ``docs`` plan — token arrays (per-element offsets + headers)
+    # are ~2x the bytes of the raw text, and shuffle IO is the one
+    # resource that does NOT scale with cores on a node (disk
+    # bandwidth is shared), so the exchange ships the smaller form.
+    # Parallelism is identical either way (post-exchange width ==
+    # shuffle partitions). Each tokenizer expression appears exactly
+    # ONCE in the projection — len/norm derive from the cached arrays
+    # afterwards so Catalyst can't duplicate the regexp.
     doc_cols = [F.col("split_id"), F.col(key).alias("key")]
+    present = {key: "key"}
     if config.timestamp_field:
         doc_cols.append(F.col(config.timestamp_field))
+        present[config.timestamp_field] = config.timestamp_field
     for f in config.fast_fields:
         if f not in (config.timestamp_field, key):
             doc_cols.append(F.col(f))
+            present[f] = f
     tag_aliases = []
     for tf_name in config.tag_fields:
         doc_cols.append(F.col(tf_name).cast("string").alias(f"tag_{tf_name}"))
         tag_aliases.append(f"tag_{tf_name}")
-    pre = df.select(*doc_cols, *[
-        tokenize_col(F.col(fc.name), fc.tokenizer).alias(f"toks_{fc.name}")
-        for fc in config.indexed_fields
-    ])
+    extra_src = [
+        fc.name for fc in config.indexed_fields if fc.name not in present
+    ]
+    pre = df.select(*doc_cols, *[F.col(n) for n in extra_src])
 
     sort_field = config.sort_by_field
     if sort_field in (None, "key", config.key_field):
@@ -583,6 +590,15 @@ def _execute_build(
             )
         order_cols = (sort_field, "key")
     docs, id_parent = _assign_doc_ids(spark, pre, len(todo), order_cols)
+    docs = docs.select(
+        "*",
+        *[
+            tokenize_col(
+                F.col(present.get(fc.name, fc.name)), fc.tokenizer
+            ).alias(f"toks_{fc.name}")
+            for fc in config.indexed_fields
+        ],
+    ).drop(*extra_src)
     docs.cache()
 
     # ---- docmap (doc store + fast fields + fieldnorms) ----

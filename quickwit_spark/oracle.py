@@ -230,3 +230,6 @@ class OracleIndex:
                     continue
                 total += 1
         return total
+
+    def doc_key(self, split_id: int, doc_id: int) -> str:
+        return self.splits[split_id].doc_keys[doc_id]

@@ -1,0 +1,227 @@
+"""REST search API — the reference's rest_handler surface over the
+Spark engine, with a stdlib-only HTTP front-end.
+
+Parity targets:
+- query-string schema `SearchRequestQueryString`
+  (quickwit-serve/src/search_api/rest_handler.rs:80-134): camelCase
+  params ``query`` (required, non-empty), ``searchField`` (comma
+  list), ``startTimestamp``/``endTimestamp`` (epoch seconds),
+  ``maxHits`` (default 20, rest_handler.rs:44-46), ``startOffset``
+  (default 0), ``format`` (json | prettyjson), ``sortByField``
+  (mini-DSL ``+field`` asc / ``-field`` desc / bare field asc,
+  quickwit-doc-mapper/src/sort_by.rs:64-75); unknown params are
+  rejected (serde ``deny_unknown_fields``).
+- response shape `SearchResponseRest`
+  (quickwit-search/src/search_response_rest.rs:30-42): ``num_hits``
+  (exact overall count), ``hits`` (doc JSON list, rank order),
+  ``elapsed_time_micros``, ``errors``.
+- routes ``GET/POST /api/v1/<index_id>/search``
+  (rest_handler.rs:155-167); POST takes the same fields as a JSON
+  body.
+
+The server maps ``index_id`` to ``<root_dir>/<index_id>``. It is a
+thin driver-side adapter: every request plans/prunes on the driver
+and runs the same pruned per-split scan as `operators/search.py` —
+serving does not add an execution tier (the reference's searcher
+cluster role is played by the Spark executors).
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+import json
+import threading
+import time
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from urllib.parse import parse_qs, urlparse
+
+from pyspark.sql import SparkSession
+
+from quickwit_spark.operators.search import (
+    SearchRequest,
+    count_hits,
+    fetch_docs,
+    search_df,
+)
+
+_KNOWN_PARAMS = frozenset(
+    {
+        "query",
+        "searchField",
+        "startTimestamp",
+        "endTimestamp",
+        "maxHits",
+        "startOffset",
+        "format",
+        "sortByField",
+        "aggregations",
+    }
+)
+
+
+class BadRequest(ValueError):
+    pass
+
+
+def parse_sort_by(mini_dsl: str) -> tuple[str, bool]:
+    """``+field``/``-field``/``field`` → (field, sort_asc). Bare and
+    ``+`` are ascending (sort_by.rs:64-75)."""
+    s = mini_dsl.strip()
+    if s.startswith("+"):
+        return s[1:].strip(), True
+    if s.startswith("-"):
+        return s[1:].strip(), False
+    return s, True
+
+
+def parse_search_params(params: dict) -> dict:
+    """Validate the camelCase query-string/body params into kwargs
+    for the engine request (deny_unknown_fields parity)."""
+    unknown = set(params) - _KNOWN_PARAMS
+    if unknown:
+        raise BadRequest(f"unknown parameters: {sorted(unknown)}")
+    query = params.get("query", "")
+    if not isinstance(query, str) or not query:
+        raise BadRequest("Expected a non empty string field.")  # rest_handler.rs:58-66
+    out: dict = {"query": query}
+    if "searchField" in params:
+        fields = [
+            f for f in str(params["searchField"]).strip(",").split(",") if f
+        ]
+        out["search_fields"] = tuple(fields) or None
+    for pname, ours in (
+        ("startTimestamp", "start_ts"),
+        ("endTimestamp", "end_ts"),
+    ):
+        if pname in params:
+            # REST timestamps are epoch seconds (rest_handler.rs:95-99)
+            secs = int(params[pname])
+            out[ours] = _dt.datetime(1970, 1, 1) + _dt.timedelta(seconds=secs)
+    out["k"] = int(params.get("maxHits", 20))
+    out["offset"] = int(params.get("startOffset", 0))
+    if "sortByField" in params:
+        field, asc = parse_sort_by(str(params["sortByField"]))
+        out["sort_field"] = field
+        out["sort_asc"] = asc
+    fmt = str(params.get("format", "json"))
+    if fmt not in ("json", "prettyjson", "pretty_json"):
+        raise BadRequest(f"unknown format: {fmt}")
+    out["_format"] = fmt
+    return out
+
+
+def search_endpoint(
+    spark: SparkSession, index_dir: str, params: dict
+) -> dict:
+    """The rest_handler `search_endpoint` analogue: params →
+    SearchResponseRest-shaped dict."""
+    kwargs = parse_search_params(params)
+    kwargs.pop("_format", None)
+    t0 = time.time()
+    req = SearchRequest(**kwargs)
+    hits_df = search_df(spark, index_dir, req)
+    docs = fetch_docs(spark, index_dir, hits_df).collect()
+    num_hits = count_hits(spark, index_dir, req)
+    # rank order: score path desc, sort-field path per sort_asc
+    asc = req.sort_asc and req.sort_field is not None
+    docs.sort(
+        key=lambda r: ((r["score"] if asc else -r["score"]), r["split_id"], r["doc_id"])
+    )
+    hit_docs = []
+    for r in docs:
+        d = r.asDict()
+        d.pop("split_id", None)
+        d.pop("doc_id", None)
+        doc = {
+            k: (v.isoformat() if hasattr(v, "isoformat") else v)
+            for k, v in d.items()
+            if not (k.startswith("len_") or k.startswith("norm_"))
+        }
+        hit_docs.append(doc)
+    return {
+        "num_hits": num_hits,
+        "hits": hit_docs,
+        "elapsed_time_micros": int((time.time() - t0) * 1e6),
+        "errors": [],
+    }
+
+
+def _make_handler(spark: SparkSession, root_dir: str):
+    import os
+
+    class Handler(BaseHTTPRequestHandler):
+        def log_message(self, *a):  # quiet
+            pass
+
+        def _route(self) -> tuple[str, str] | None:
+            parts = urlparse(self.path)
+            segs = [s for s in parts.path.split("/") if s]
+            if len(segs) == 4 and segs[:2] == ["api", "v1"] and segs[3] == "search":
+                return segs[2], parts.query
+            return None
+
+        def _respond(self, code: int, payload: dict, pretty: bool) -> None:
+            body = json.dumps(
+                payload, indent=2 if pretty else None, default=str
+            ).encode()
+            self.send_response(code)
+            self.send_header("content-type", "application/json")
+            self.send_header("content-length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def _handle(self, params: dict) -> None:
+            route = self._route()
+            if route is None:
+                self._respond(404, {"error": "not found"}, False)
+                return
+            index_id, _ = route
+            index_dir = os.path.join(root_dir, index_id)
+            if not os.path.isdir(index_dir):
+                self._respond(
+                    404, {"error": f"index {index_id!r} does not exist"}, False
+                )
+                return
+            pretty = str(params.get("format", "json")) in (
+                "prettyjson", "pretty_json",
+            )
+            try:
+                resp = search_endpoint(spark, index_dir, params)
+            except BadRequest as e:
+                self._respond(400, {"error": str(e)}, pretty)
+                return
+            except ValueError as e:  # parser/sort-field errors
+                self._respond(400, {"error": str(e)}, pretty)
+                return
+            self._respond(200, resp, pretty)
+
+        def do_GET(self):
+            parts = urlparse(self.path)
+            qs = parse_qs(parts.query, keep_blank_values=True)
+            self._handle({k: v[-1] for k, v in qs.items()})
+
+        def do_POST(self):
+            n = int(self.headers.get("content-length", 0))
+            try:
+                params = json.loads(self.rfile.read(n) or b"{}")
+            except json.JSONDecodeError:
+                self._respond(400, {"error": "invalid JSON body"}, False)
+                return
+            self._handle(params)
+
+    return Handler
+
+
+def serve(
+    spark: SparkSession,
+    root_dir: str,
+    port: int = 7280,  # reference default REST port
+    host: str = "127.0.0.1",
+) -> ThreadingHTTPServer:
+    """Start the REST server in a daemon thread; returns the server
+    (call ``.shutdown()`` to stop). Index ids resolve to
+    ``<root_dir>/<index_id>``."""
+    srv = ThreadingHTTPServer((host, port), _make_handler(spark, root_dir))
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    return srv

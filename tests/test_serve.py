@@ -1,0 +1,102 @@
+"""REST surface: the rest_handler query-string/response parity
+(reference quickwit-serve/src/search_api/rest_handler.rs)."""
+
+from __future__ import annotations
+
+import json
+import os
+import urllib.error
+import urllib.request
+
+import pytest
+
+from quickwit_spark.serve import parse_search_params, parse_sort_by, serve
+
+
+def _get(port: int, path: str):
+    try:
+        with urllib.request.urlopen(f"http://127.0.0.1:{port}{path}") as r:
+            return r.status, json.loads(r.read())
+    except urllib.error.HTTPError as e:
+        return e.code, json.loads(e.read())
+
+
+@pytest.fixture(scope="module")
+def server(spark, built_index):
+    root = os.path.dirname(built_index)
+    index_id = os.path.basename(built_index)
+    srv = serve(spark, root, port=0)  # ephemeral port
+    yield srv.server_address[1], index_id
+    srv.shutdown()
+
+
+def test_sort_by_mini_dsl():
+    assert parse_sort_by("+warc_ts") == ("warc_ts", True)
+    assert parse_sort_by("-warc_ts") == ("warc_ts", False)
+    assert parse_sort_by("warc_ts") == ("warc_ts", True)
+
+
+def test_unknown_param_rejected():
+    with pytest.raises(ValueError, match="unknown parameters"):
+        parse_search_params({"query": "x", "maxHit": 3})
+
+
+def test_empty_query_rejected():
+    with pytest.raises(ValueError, match="non empty"):
+        parse_search_params({"query": ""})
+
+
+def test_get_search_matches_engine(spark, built_index, oracle_index, server):
+    port, index_id = server
+    status, resp = _get(port, f"/api/v1/{index_id}/search?query=word+hot&maxHits=5")
+    assert status == 200
+    assert set(resp) == {"num_hits", "hits", "elapsed_time_micros", "errors"}
+    assert resp["errors"] == []
+    assert resp["num_hits"] == oracle_index.count("word hot")
+    want = oracle_index.search("word hot", k=5)
+    got_keys = [h["key"] for h in resp["hits"]]
+    want_keys = [oracle_index.doc_key(w[0], w[1]) for w in want]
+    assert got_keys == want_keys
+
+
+def test_get_pagination_and_fields(server, oracle_index):
+    port, index_id = server
+    status, resp = _get(
+        port,
+        f"/api/v1/{index_id}/search?query=word&maxHits=3&startOffset=2"
+        "&searchField=text",
+    )
+    assert status == 200
+    want = oracle_index.search("word", k=5)[2:5]
+    assert [h["key"] for h in resp["hits"]] == [
+        oracle_index.doc_key(w[0], w[1]) for w in want
+    ]
+
+
+def test_get_bad_request(server):
+    port, index_id = server
+    status, resp = _get(port, f"/api/v1/{index_id}/search?query=")
+    assert status == 400
+    status, resp = _get(port, f"/api/v1/{index_id}/search?query=x&nope=1")
+    assert status == 400
+    assert "unknown parameters" in resp["error"]
+
+
+def test_missing_index_404(server):
+    port, _ = server
+    status, _ = _get(port, "/api/v1/no_such_index/search?query=x")
+    assert status == 404
+
+
+def test_post_search(server, oracle_index):
+    port, index_id = server
+    body = json.dumps({"query": "the", "maxHits": 4}).encode()
+    req = urllib.request.Request(
+        f"http://127.0.0.1:{port}/api/v1/{index_id}/search",
+        data=body,
+        headers={"content-type": "application/json"},
+    )
+    with urllib.request.urlopen(req) as r:
+        resp = json.loads(r.read())
+    assert resp["num_hits"] == oracle_index.count("the")
+    assert len(resp["hits"]) == 4
