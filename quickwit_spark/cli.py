@@ -205,6 +205,28 @@ def cmd_gc(args) -> int:
     return 0
 
 
+def cmd_serve(args) -> int:
+    """REST searcher (reference `quickwit service run searcher`,
+    default port 7280)."""
+    from quickwit_spark.serve import serve
+
+    spark = get_spark("qws-serve")
+    srv = serve(spark, args.root, port=args.port, host=args.host)
+    print(
+        json.dumps(
+            {"listening": f"http://{args.host}:{srv.server_address[1]}"}
+        ),
+        flush=True,
+    )
+    try:
+        import threading
+
+        threading.Event().wait()  # serve until interrupted
+    except KeyboardInterrupt:
+        srv.shutdown()
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="quickwit_spark")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -254,6 +276,12 @@ def main(argv: list[str] | None = None) -> int:
     c.add_argument("--now", action="store_true", help="skip GC grace period")
     c.add_argument("--yes", action="store_true", help="confirm whole-index delete")
     c.set_defaults(fn=cmd_delete)
+
+    c = sub.add_parser("serve", help="REST search API over indexes under --root")
+    c.add_argument("--root", required=True, help="directory whose subdirs are indexes")
+    c.add_argument("--port", type=int, default=7280)
+    c.add_argument("--host", default="127.0.0.1")
+    c.set_defaults(fn=cmd_serve)
 
     c = sub.add_parser("gc", help="garbage-collect retired splits")
     c.add_argument("--index", required=True)

@@ -103,6 +103,16 @@ def parse_search_params(params: dict) -> dict:
         field, asc = parse_sort_by(str(params["sortByField"]))
         out["sort_field"] = field
         out["sort_asc"] = asc
+    if "aggregations" in params:
+        aggs = params["aggregations"]
+        if isinstance(aggs, str):  # GET query-string form
+            try:
+                aggs = json.loads(aggs)
+            except json.JSONDecodeError as e:
+                raise BadRequest(f"invalid aggregations JSON: {e}") from e
+        if not isinstance(aggs, dict):
+            raise BadRequest("aggregations must be a JSON object")
+        out["_aggregations"] = aggs
     fmt = str(params.get("format", "json"))
     if fmt not in ("json", "prettyjson", "pretty_json"):
         raise BadRequest(f"unknown format: {fmt}")
@@ -117,11 +127,17 @@ def search_endpoint(
     SearchResponseRest-shaped dict."""
     kwargs = parse_search_params(params)
     kwargs.pop("_format", None)
+    aggs = kwargs.pop("_aggregations", None)
     t0 = time.time()
     req = SearchRequest(**kwargs)
     hits_df = search_df(spark, index_dir, req)
     docs = fetch_docs(spark, index_dir, hits_df).collect()
     num_hits = count_hits(spark, index_dir, req)
+    agg_result = None
+    if aggs is not None:
+        from quickwit_spark.operators.aggregations import run_aggregations
+
+        agg_result = run_aggregations(spark, index_dir, req, aggs)
     # rank order: score path desc, sort-field path per sort_asc
     asc = req.sort_asc and req.sort_field is not None
     docs.sort(
@@ -138,12 +154,16 @@ def search_endpoint(
             if not (k.startswith("len_") or k.startswith("norm_"))
         }
         hit_docs.append(doc)
-    return {
+    resp = {
         "num_hits": num_hits,
         "hits": hit_docs,
         "elapsed_time_micros": int((time.time() - t0) * 1e6),
         "errors": [],
     }
+    if agg_result is not None:
+        # skip_serializing_if None parity (search_response_rest.rs:40)
+        resp["aggregations"] = agg_result
+    return resp
 
 
 def _make_handler(spark: SparkSession, root_dir: str):

@@ -6,6 +6,7 @@ from __future__ import annotations
 import json
 import os
 import urllib.error
+import urllib.parse
 import urllib.request
 
 import pytest
@@ -86,6 +87,22 @@ def test_missing_index_404(server):
     port, _ = server
     status, _ = _get(port, "/api/v1/no_such_index/search?query=x")
     assert status == 404
+
+
+def test_get_aggregations(server, oracle_index):
+    port, index_id = server
+    aggs = json.dumps(
+        {"lens": {"histogram": {"field": "len_text", "interval": 20}}}
+    )
+    status, resp = _get(
+        port,
+        f"/api/v1/{index_id}/search?query=word&aggregations="
+        + urllib.parse.quote(aggs),
+    )
+    assert status == 200
+    assert "aggregations" in resp
+    buckets = resp["aggregations"]["lens"]["buckets"]
+    assert sum(b["doc_count"] for b in buckets) == oracle_index.count("word")
 
 
 def test_post_search(server, oracle_index):
