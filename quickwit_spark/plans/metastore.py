@@ -125,16 +125,31 @@ class Metastore:
 
     # -- mutations (single-writer, atomic via rename) -------------------
     def stage_splits(self, metas: list[SplitMetadata]) -> None:
+        """Stage new splits. A leftover ``Staged`` entry with the same id
+        (from a build that crashed before publish) is superseded — split
+        data writes are idempotent per split (dynamic partition
+        overwrite), so re-staging + rebuild is the resume path. Colliding
+        with a ``Published``/``MarkedForDeletion`` split is a real
+        conflict and still raises."""
         m = self._read()
-        known = {s["split_id"] for s in m["splits"]}
+        by_id = {s["split_id"]: s for s in m["splits"]}
         now = time.time()
         for meta in metas:
-            if meta.split_id in known:
-                raise ValueError(f"split {meta.split_id} already staged")
+            prev = by_id.get(meta.split_id)
+            if prev is not None and prev["state"] != STAGED:
+                raise ValueError(
+                    f"split {meta.split_id} already exists in state "
+                    f"{prev['state']}"
+                )
             meta.state = STAGED
             meta.create_timestamp = meta.create_timestamp or now
             meta.update_timestamp = now
+            if prev is not None:
+                m["splits"] = [
+                    s for s in m["splits"] if s["split_id"] != meta.split_id
+                ]
             m["splits"].append(meta.to_dict())
+            by_id[meta.split_id] = meta.to_dict()
         self._write(m)
 
     def publish_splits(

@@ -159,3 +159,42 @@ def test_gc_removes_retired_split_data(spark, merged_index):
             os.path.join(merged_index, "postings", f"split_id={sid}")
         )
     assert not ms.splits(("MarkedForDeletion",))
+
+
+def test_crash_before_publish_resume_bitwise_identical(
+    spark, corpus_rows, tmp_path_factory
+):
+    """F5 resume fixture: a build that dies before the atomic publish
+    leaves nothing published; the re-run must produce an index
+    bitwise-identical to an uninterrupted build (determinism is what
+    makes 10^12-doc resume safe)."""
+    import quickwit_spark.plans.metastore as metastore_mod
+
+    df = spark.createDataFrame(pd.DataFrame(corpus_rows))
+    dir_a = str(tmp_path_factory.mktemp("uninterrupted"))
+    metas_a = build_index(spark, df, dir_a, webpages_config(), num_splits=2)
+
+    dir_b = str(tmp_path_factory.mktemp("crashed"))
+    orig = metastore_mod.Metastore.publish_splits
+
+    def boom(self, *a, **k):
+        raise RuntimeError("simulated crash before publish")
+
+    metastore_mod.Metastore.publish_splits = boom
+    try:
+        with pytest.raises(RuntimeError, match="simulated crash"):
+            build_index(spark, df, dir_b, webpages_config(), num_splits=2)
+    finally:
+        metastore_mod.Metastore.publish_splits = orig
+    assert Metastore(dir_b).list_published() == []  # atomic: all or nothing
+
+    metas_b = build_index(spark, df, dir_b, webpages_config(), num_splits=2)
+    assert [(m.split_id, m.num_docs) for m in metas_b] == [
+        (m.split_id, m.num_docs) for m in metas_a
+    ]
+    for sub in ("postings", "docmap"):
+        pa_df = spark.read.parquet(f"{dir_a}/{sub}")
+        rows_a = sorted(map(str, pa_df.orderBy(*pa_df.columns).collect()))
+        pb_df = spark.read.parquet(f"{dir_b}/{sub}")
+        rows_b = sorted(map(str, pb_df.orderBy(*pb_df.columns).collect()))
+        assert rows_a == rows_b, sub
