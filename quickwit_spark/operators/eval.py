@@ -266,12 +266,15 @@ def evaluate_split(
     Count with TopDocs forfeits WAND pruning.
     """
     no_ts = not apply_ts_filter or (start_micros is None and end_micros is None)
+    # k=0 (agg/count-only request): the block-max paths assume a
+    # non-empty heap; the generic path below handles it exactly
     # single bare term: block-max fast path (num_hits stays exact)
-    if isinstance(ast, TermQ) and not emit_all and sort_field is None and no_ts:
+    if k > 0 and isinstance(ast, TermQ) and not emit_all and sort_field is None and no_ts:
         return _topk_single_term(ctx, ast, k)
     # pure disjunction of terms: multi-term block-max WAND
     if (
-        not count_exact
+        k > 0
+        and not count_exact
         and not emit_all
         and sort_field is None
         and no_ts

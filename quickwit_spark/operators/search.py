@@ -39,6 +39,59 @@ from quickwit_spark.plans.pruning import prune_splits, split_fully_inside
 HITS_SCHEMA = "split_id int, doc_id long, score double, split_num_hits long"
 
 
+class Searcher:
+    """Warm per-index search context — the searcher/hotcache analogue
+    (quickwit-search keeps split metadata + index footers cached in the
+    searcher process, leaf.rs:125-195). Here the costly per-query
+    driver work is re-resolving the postings/fastfields/docmap parquet
+    DataFrames (file listing + footer schema inference), so one
+    Searcher caches them per (SparkSession, index_dir) and is
+    invalidated whenever the manifest changes (every split mutation —
+    publish/merge/demux/GC — rewrites manifest.json atomically, so the
+    manifest stamp covers data-file changes too)."""
+
+    def __init__(self, spark: SparkSession, index_dir: str):
+        self.spark = spark
+        self.ms = Metastore(index_dir)
+        self._stamp = self._manifest_stamp()
+        self._dfs: dict[str, DataFrame] = {}
+
+    def _manifest_stamp(self):
+        st = os.stat(self.ms.manifest_path)
+        return (st.st_mtime_ns, st.st_size)
+
+    def fresh(self) -> bool:
+        try:
+            return self._stamp == self._manifest_stamp()
+        except OSError:
+            return False
+
+    def table(self, name: str) -> DataFrame:
+        """Resolved DataFrame for 'postings' | 'fastfields' | 'docmap'."""
+        df = self._dfs.get(name)
+        if df is None:
+            paths = {
+                "postings": self.ms.postings_dir(),
+                "fastfields": os.path.join(self.ms.index_dir, "fastfields"),
+                "docmap": self.ms.docmap_dir(),
+            }
+            df = self.spark.read.parquet(paths[name])
+            self._dfs[name] = df
+        return df
+
+
+_searchers: dict[tuple[str, str], Searcher] = {}
+
+
+def get_searcher(spark: SparkSession, index_dir: str) -> Searcher:
+    key = (spark.sparkContext.applicationId, os.path.abspath(index_dir))
+    s = _searchers.get(key)
+    if s is None or not s.fresh():
+        s = Searcher(spark, index_dir)
+        _searchers[key] = s
+    return s
+
+
 def _to_micros(ts) -> int | None:
     if ts is None:
         return None
@@ -71,8 +124,7 @@ def _split_infos(splits, config, start_micros, end_micros):
 
 
 def _scan_inputs(
-    spark: SparkSession,
-    ms: Metastore,
+    searcher: Searcher,
     ast,
     split_ids: list[int],
     need_ts: str | None,
@@ -83,7 +135,7 @@ def _scan_inputs(
     fields = sorted({t.field for t in terms})
     term_strs = sorted({t.term for t in terms})
     postings = (
-        spark.read.parquet(ms.postings_dir())
+        searcher.table("postings")
         .filter(F.col("split_id").isin(split_ids))
         .filter(F.col("field").isin(fields) & F.col("term").isin(term_strs))
     )
@@ -92,7 +144,7 @@ def _scan_inputs(
         ff_names.append(f"ts_{need_ts}")
     ff_names += list(extra_ff)
     fastfields = (
-        spark.read.parquet(os.path.join(ms.index_dir, "fastfields"))
+        searcher.table("fastfields")
         .filter(F.col("split_id").isin(split_ids))
         .filter(F.col("name").isin(ff_names))
     )
@@ -184,7 +236,8 @@ def _evaluate(
 ) -> tuple[DataFrame | None, object, Metastore]:
     """Shared plan: prune → scan → per-split evaluate. Returns the
     per-split hits DataFrame (None when all splits pruned)."""
-    ms = Metastore(index_dir)
+    searcher = get_searcher(spark, index_dir)
+    ms = searcher.ms
     config = ms.config()
     ast = resolve_query(parse_query(req.query), config, req.search_fields)
     start_micros = _to_micros(req.start_ts)
@@ -212,7 +265,7 @@ def _evaluate(
         extra = [sort_field]
     else:
         extra = []
-    postings, fastfields = _scan_inputs(spark, ms, ast, sids, need_ts, extra)
+    postings, fastfields = _scan_inputs(searcher, ast, sids, need_ts, extra)
     infos = _split_infos(splits, config, start_micros, end_micros)
     evaluator = _make_evaluator(
         ast,
@@ -273,6 +326,43 @@ def count_hits(spark: SparkSession, index_dir: str, req: SearchRequest) -> int:
     return int(row["total"] or 0)
 
 
+def search_with_count(
+    spark: SparkSession, index_dir: str, req: SearchRequest
+) -> tuple[list, int]:
+    """Top-k hit rows AND exact num_hits from ONE per-split evaluation
+    pass (the reference returns both in a single leaf response,
+    collector.rs:189). count_exact=True disables WAND pruning — same
+    trade tantivy makes when a count is requested. The cogrouped
+    evaluation is persisted so the top-k collect and the count agg
+    don't run it twice."""
+    wanted = req.k + req.offset
+    # evaluate with k ≥ 1 so every matching split emits ≥1 row — the
+    # per-split num_hits rides on hit rows (k=0 would drop the count)
+    eval_req = SearchRequest(**{**vars(req), "k": max(wanted, 1), "offset": 0})
+    hits, _, _ = _evaluate(spark, index_dir, eval_req, emit_all=False, count_exact=True)
+    if hits is None:
+        return [], 0
+    hits = hits.persist()
+    try:
+        asc = req.sort_asc and req.sort_field is not None
+        score_order = F.col("score").asc() if asc else F.col("score").desc()
+        rows = (
+            hits.select("split_id", "doc_id", "score")
+            .orderBy(score_order, F.col("split_id").asc(), F.col("doc_id").asc())
+            .limit(wanted)
+            .collect()
+        )[req.offset:]
+        total = (
+            hits.groupBy("split_id")
+            .agg(F.max("split_num_hits").alias("h"))
+            .agg(F.sum("h").alias("total"))
+            .collect()[0]["total"]
+        )
+    finally:
+        hits.unpersist()
+    return rows, int(total or 0)
+
+
 def matches_df(spark: SparkSession, index_dir: str, req: SearchRequest) -> DataFrame:
     """ALL matching docs (split_id, doc_id, score) — the
     search_stream / aggregation input (no top-k)."""
@@ -301,8 +391,7 @@ def fetch_docs(
     the runtime size happens to be small — AQE's call, not a hint).
     The reference never centralizes this set either: search_stream
     leaves stream their own split's matches (leaf.rs:119-255)."""
-    ms = Metastore(index_dir)
-    docmap = spark.read.parquet(ms.docmap_dir())
+    docmap = get_searcher(spark, index_dir).table("docmap")
     if columns:
         docmap = docmap.select("split_id", "doc_id", *columns)
     right = F.broadcast(hits) if bounded else hits

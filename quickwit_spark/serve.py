@@ -39,9 +39,8 @@ from pyspark.sql import SparkSession
 
 from quickwit_spark.operators.search import (
     SearchRequest,
-    count_hits,
     fetch_docs,
-    search_df,
+    search_with_count,
 )
 
 _KNOWN_PARAMS = frozenset(
@@ -130,9 +129,13 @@ def search_endpoint(
     aggs = kwargs.pop("_aggregations", None)
     t0 = time.time()
     req = SearchRequest(**kwargs)
-    hits_df = search_df(spark, index_dir, req)
+    # one evaluation pass yields both the page of hits and the exact
+    # total (the reference leaf response carries both)
+    hit_rows, num_hits = search_with_count(spark, index_dir, req)
+    hits_df = spark.createDataFrame(
+        hit_rows, "split_id int, doc_id long, score double"
+    )
     docs = fetch_docs(spark, index_dir, hits_df).collect()
-    num_hits = count_hits(spark, index_dir, req)
     agg_result = None
     if aggs is not None:
         from quickwit_spark.operators.aggregations import run_aggregations

@@ -84,3 +84,20 @@ def test_time_pruning_skips_splits(spark, built_index):
         emit_all=False,
     )
     assert hits is None  # every split pruned by time_range metadata
+
+
+def test_searcher_cache_reuse_and_invalidation(spark, built_index):
+    import os
+    import time
+
+    from quickwit_spark.operators.search import get_searcher
+
+    s1 = get_searcher(spark, built_index)
+    assert get_searcher(spark, built_index) is s1  # warm reuse
+    assert s1.table("postings") is s1.table("postings")
+    # any split mutation rewrites manifest.json → new searcher
+    manifest = os.path.join(built_index, "manifest.json")
+    time.sleep(0.01)
+    os.utime(manifest)
+    s2 = get_searcher(spark, built_index)
+    assert s2 is not s1

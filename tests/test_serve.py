@@ -117,3 +117,19 @@ def test_post_search(server, oracle_index):
         resp = json.loads(r.read())
     assert resp["num_hits"] == oracle_index.count("the")
     assert len(resp["hits"]) == 4
+
+
+def test_agg_only_max_hits_zero(server, oracle_index):
+    # maxHits=0 is the aggregation-only request shape: no hit page,
+    # but num_hits stays the exact total match count
+    port, index_id = server
+    aggs = json.dumps({"lens": {"stats": {"field": "len_text"}}})
+    status, resp = _get(
+        port,
+        f"/api/v1/{index_id}/search?query=word&maxHits=0&aggregations="
+        + urllib.parse.quote(aggs),
+    )
+    assert status == 200
+    assert resp["hits"] == []
+    assert resp["num_hits"] == oracle_index.count("word")
+    assert resp["aggregations"]["lens"]["count"] == resp["num_hits"]
