@@ -106,6 +106,7 @@ DOCS_QUERY_TERMS = ("spark", "window", "table", "fast", "value")
 # deterministic RP-LSH hyperplanes, materialized so the DuckDB oracle
 # can reproduce signatures (written by both queries() and oracle_sql())
 _PLANES_PATH = "/tmp/qws_lsh_planes_d64_p8_s42.parquet"
+_BAND_PLANES_PATH = "/tmp/qws_lsh_planes_d64_p64_s42.parquet"
 
 
 def _docs_config():
@@ -476,6 +477,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ).withColumnRenamed("key", "vec_id")
 
     q["ann_lsh_bucketed"] = ann_lsh
+
+    def emb_near_dup(spark, sf_dir):
+        # banded RP-LSH candidates → exact cosine ≥ 0.35 (the
+        # synthetic embeddings have no true near-dups — max pairwise
+        # cosine ≈ 0.49 — so the demo threshold is low; the op is
+        # built for 0.85+ near-dup use)
+        similarity.write_planes_parquet(
+            _BAND_PLANES_PATH, dim=64, n_planes=64, seed=42
+        )
+        e = _emb(spark, sf_dir)
+        return similarity.embedding_near_dup_pairs(
+            e, dim=64, threshold=0.35, n_bands=8, planes_per_band=8,
+            max_bucket_size=100,
+        )
+
+    q["embedding_near_dup"] = emb_near_dup
 
     # ---- multimodal plumbing (binary payloads, fake decode) ----
     def mm_decode(spark, sf_dir):
@@ -974,6 +991,49 @@ pairs AS (
 )
 SELECT vec_id, round(dot / (na * nb), 6) AS cosine
 FROM pairs ORDER BY cosine DESC, vec_id ASC LIMIT 10
+"""
+
+    # embedding_near_dup: banded RP-LSH (8 bands × 8 planes from the
+    # same SplitMix64 parquet) → bucket self-join → exact cosine ≥ t
+    write_planes_parquet(_BAND_PLANES_PATH, dim=64, n_planes=64, seed=42)
+    o["embedding_near_dup"] = f"""
+WITH planes AS (
+  SELECT plane_id, idx, coef FROM read_parquet('{_BAND_PLANES_PATH}')
+),
+dots AS (
+  SELECT e.vec_id, p.plane_id,
+         sum(CAST(e.embedding[p.idx + 1] AS DOUBLE) * p.coef) AS dot
+  FROM embeddings e CROSS JOIN planes p
+  GROUP BY e.vec_id, p.plane_id
+),
+buckets AS (
+  SELECT vec_id, plane_id // 8 AS band,
+         CAST(sum(CASE WHEN dot >= 0 THEN (1::BIGINT << (plane_id % 8)) ELSE 0 END) AS BIGINT) AS bucket
+  FROM dots GROUP BY vec_id, plane_id // 8
+),
+capped AS (
+  SELECT vec_id, band, bucket FROM (
+    SELECT *, count(*) OVER (PARTITION BY band, bucket) AS bsz FROM buckets
+  ) WHERE bsz <= 100
+),
+cands AS (
+  SELECT DISTINCT a.vec_id AS key_a, b.vec_id AS key_b
+  FROM capped a JOIN capped b
+    ON a.band = b.band AND a.bucket = b.bucket AND a.vec_id < b.vec_id
+),
+pairs AS (
+  SELECT c.key_a, c.key_b,
+    sum(CAST(ea.embedding[i.i] AS DOUBLE) * CAST(eb.embedding[i.i] AS DOUBLE)) AS dot,
+    sqrt(sum(CAST(ea.embedding[i.i] AS DOUBLE) * CAST(ea.embedding[i.i] AS DOUBLE))) AS na,
+    sqrt(sum(CAST(eb.embedding[i.i] AS DOUBLE) * CAST(eb.embedding[i.i] AS DOUBLE))) AS nb
+  FROM cands c
+  JOIN embeddings ea ON ea.vec_id = c.key_a
+  JOIN embeddings eb ON eb.vec_id = c.key_b,
+       UNNEST(generate_series(1, 64)) AS i(i)
+  GROUP BY c.key_a, c.key_b
+)
+SELECT key_a, key_b, round(dot / (na * nb), 6) AS cosine
+FROM pairs WHERE round(dot / (na * nb), 6) >= 0.35
 """
 
     o["multimodal_decode_meta"] = """

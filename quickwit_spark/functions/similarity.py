@@ -176,6 +176,100 @@ def write_planes_parquet(path: str, dim: int, n_planes: int = 8, seed: int = 42)
     return path
 
 
+def banded_lsh_buckets(
+    df: DataFrame,
+    dim: int,
+    n_bands: int = 8,
+    planes_per_band: int = 8,
+    seed: int = 42,
+    vec_col: str = "embedding",
+    key_col: str = "vec_id",
+) -> DataFrame:
+    """(key, band, bucket) — one row per band, bucket = sign bits of
+    that band's hyperplanes. The banding trick (multiple independent
+    hash tables) applied to random-projection LSH: near vectors agree
+    on SOME band's full bit pattern with high probability even when
+    no single long signature matches."""
+    planes = random_planes(dim, n_bands * planes_per_band, seed)
+    band_cols = []
+    for b in range(n_bands):
+        bucket = F.lit(0).cast("long")
+        for j in range(planes_per_band):
+            plane = F.array(
+                *[F.lit(float(c)) for c in planes[b * planes_per_band + j]]
+            )
+            bucket = bucket + F.when(
+                _dot(F.col(vec_col), plane) >= 0, F.lit(1 << j)
+            ).otherwise(0)
+        band_cols.append(
+            F.struct(F.lit(b).alias("band"), bucket.alias("bucket"))
+        )
+    return df.select(
+        F.col(key_col).alias("key"), F.explode(F.array(*band_cols)).alias("bb")
+    ).select("key", "bb.band", "bb.bucket")
+
+
+def embedding_near_dup_pairs(
+    df: DataFrame,
+    dim: int,
+    threshold: float = 0.85,
+    n_bands: int = 8,
+    planes_per_band: int = 8,
+    seed: int = 42,
+    vec_col: str = "embedding",
+    key_col: str = "vec_id",
+    max_bucket_size: int | None = None,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: banded RP-LSH candidate
+    generation + exact cosine verification ≥ ``threshold``.
+
+    Scale shape: candidates come from a self-join on (band, bucket) —
+    shuffle on bucket keys, never all-pairs — then ONE exact-cosine
+    pass over the deduplicated candidates (join back to the vectors
+    on key). Sizing rule: ``2**planes_per_band`` buckets per band
+    must scale with the corpus (≈ log2(N) + 4 bits), else birthday
+    collisions make every pair a candidate; ``max_bucket_size``
+    drops degenerate mega-buckets (e.g. the all-zeros vector bucket)
+    before the quadratic join, like its MinHash-LSH counterpart.
+    Everything is deterministic given (dim, seed): planes from
+    SplitMix64, so an external SQL oracle reproduces the exact same
+    candidate set and verdicts."""
+    exploded = banded_lsh_buckets(
+        df, dim, n_bands, planes_per_band, seed, vec_col, key_col
+    )
+    if max_bucket_size is not None:
+        wcnt = Window.partitionBy("band", "bucket")
+        exploded = (
+            exploded.withColumn("__bsz", F.count("*").over(wcnt))
+            .filter(F.col("__bsz") <= max_bucket_size)
+            .drop("__bsz")
+        )
+    a, b = exploded.alias("a"), exploded.alias("b")
+    cands = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.key") < F.col("b.key")),
+        )
+        .select(F.col("a.key").alias("key_a"), F.col("b.key").alias("key_b"))
+        .distinct()
+    )
+    vecs = df.select(F.col(key_col).alias("k"), F.col(vec_col).alias("v"))
+    va = vecs.withColumnsRenamed({"k": "key_a", "v": "va"})
+    vb = vecs.withColumnsRenamed({"k": "key_b", "v": "vb"})
+    return (
+        cands.join(va, "key_a")
+        .join(vb, "key_b")
+        .select(
+            "key_a",
+            "key_b",
+            F.round(cosine_col(F.col("va"), F.col("vb")), 6).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= F.lit(threshold))
+    )
+
+
 def rp_lsh_probe_buckets(
     query_vec: list[float], dim: int, n_planes: int = 8, seed: int = 42,
     multiprobe: int = 0,

@@ -255,3 +255,36 @@ def test_lsh_mega_bucket_cap(spark):
     assert uncapped.count() == 30 * 29 // 2
     capped = lsh_candidate_pairs(sigs, bands=3, rows_per_band=2, max_bucket_size=10)
     assert capped.count() == 0  # bucket dropped entirely
+
+
+def test_embedding_near_dup_pairs(spark):
+    from quickwit_spark.functions.similarity import embedding_near_dup_pairs
+
+    # 10 base vectors + 3 tiny perturbations → 3 true near-dup pairs
+    rng = np.random.default_rng(7)
+    base = rng.normal(size=(10, 16)).astype(np.float32)
+    rows = [(i, base[i].tolist()) for i in range(10)]
+    for j, src in enumerate((0, 4, 7)):
+        noisy = base[src] + rng.normal(scale=0.02, size=16).astype(np.float32)
+        rows.append((100 + j, noisy.astype(np.float32).tolist()))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = embedding_near_dup_pairs(
+        df, dim=16, threshold=0.9, n_bands=8, planes_per_band=4
+    ).collect()
+    found = {(r["key_a"], r["key_b"]) for r in got}
+    assert found == {(0, 100), (4, 101), (7, 102)}
+    assert all(r["cosine"] >= 0.9 for r in got)
+
+
+def test_embedding_near_dup_bucket_cap(spark):
+    from quickwit_spark.functions.similarity import embedding_near_dup_pairs
+
+    # 40 identical vectors land in one bucket per band → capped away
+    rows = [(i, [1.0] * 8) for i in range(40)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    uncapped = embedding_near_dup_pairs(df, dim=8, threshold=0.99)
+    assert uncapped.count() == 40 * 39 // 2
+    capped = embedding_near_dup_pairs(
+        df, dim=8, threshold=0.99, max_bucket_size=10
+    )
+    assert capped.count() == 0
