@@ -454,7 +454,7 @@ def _assign_doc_ids(
     pre: DataFrame,
     num_splits: int,
     order_cols: tuple[str, ...] = ("key",),
-) -> tuple[DataFrame, DataFrame | None]:
+) -> tuple[DataFrame, DataFrame | None, str]:
     """Deterministic dense per-split doc ids = rank of ``order_cols``
     within the split (default: the doc key — the engine's stable
     tie-break; with index sorting, ``(sort_by_field, key)``).
@@ -462,27 +462,54 @@ def _assign_doc_ids(
     Two strategies, chosen by shape:
 
     - ``window`` (many splits — the 100 TB regime, where num_splits ≫
-      cores): ``row_number() over (partition by split_id order by
-      key)``. One task per split, but thousands of splits run in
-      parallel and each sorts ≤ split_num_docs_target rows.
-    - ``twophase`` (few splits — num_splits < cores, where the window
-      would serialize the build): range-repartition by (split_id,
-      key) into the full shuffle parallelism, count rows per
-      (partition, split) in one cheap job over the persisted exchange,
-      cumsum the offsets on the driver, then add them to a local
-      rank windowed by (partition, split) — all JVM-side. The global
-      rank is invariant to where the range boundaries fall, so the
-      result is identical to the window's.
+      shuffle partitions): ``row_number() over (partition by split_id
+      order by key)``. Hash-partitions by split_id, so every
+      downstream per-split stage — INCLUDING the token groupBy of the
+      posting encoder — reuses that clustering with NO further
+      exchange (Catalyst elides it: hashpartitioning(split_id)
+      satisfies ClusteredDistribution(split_id, bucket)). With
+      num_splits ≫ partitions each task averages many splits, so the
+      load is balanced AND the 100 TB token stream is never shuffled.
+    - ``range window`` (mid regime — cores ≤ num_splits < 4×shuffle
+      partitions, the single-box bench shape): hashing a handful of
+      splits into the partition space leaves most partitions empty
+      and stacks up to ~3 splits on one task (balls-in-bins) —
+      measured as a 3× encode straggler that caps scaling at high
+      core counts. ``repartitionByRange(num_splits, split_id)``
+      instead maps splits ~1:1 onto partitions (range boundaries from
+      sampling over num_splits discrete values), and
+      RangePartitioning(split_id) STILL satisfies every downstream
+      per-split clustering, so the exchange elision (and the zero
+      token shuffle) is preserved with balanced tasks. Costs one
+      extra sampling scan of the input — bounded, and this regime is
+      small by definition.
+    - ``twophase`` (fewer splits than cores, where one-task-per-split
+      would idle most of the machine): range-repartition by
+      (split_id, key) into the full shuffle parallelism, count rows
+      per (partition, split) in one cheap job over the persisted
+      exchange, cumsum the offsets on the driver, then add them to a
+      local rank windowed by (partition, split) — all JVM-side. The
+      global rank is invariant to where the range boundaries fall, so
+      the result is identical to the window's. This partitioning does
+      NOT satisfy the encoder's clustering, so the token groupBy gets
+      a real full-width exchange — the right trade when the split
+      count, not the data, is the parallelism limiter.
 
     Returns ``(docs, persisted_parent_or_None)`` — caller unpersists
     the parent after ``docs`` is cached.
     """
     cores = spark.sparkContext.defaultParallelism
     shuffle_parts = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
-    if num_splits >= cores:
-        # one task per split already saturates the executors
+    if num_splits >= 4 * shuffle_parts:
+        # splits ≫ partitions: balanced by averaging, exchange-free
         w = Window.partitionBy("split_id").orderBy(*order_cols)
-        return pre.withColumn("doc_id", F.row_number().over(w) - F.lit(1)), None
+        docs = pre.withColumn("doc_id", F.row_number().over(w) - F.lit(1))
+        return docs, None, "window"
+    if num_splits >= cores:
+        ranged = pre.repartitionByRange(num_splits, F.col("split_id").asc())
+        w = Window.partitionBy("split_id").orderBy(*order_cols)
+        docs = ranged.withColumn("doc_id", F.row_number().over(w) - F.lit(1))
+        return docs, None, "range_window"
 
     sorted_pre = (
         pre.repartitionByRange(shuffle_parts, "split_id", *order_cols)
@@ -520,7 +547,7 @@ def _assign_doc_ids(
         .withColumn("doc_id", (F.col("__off") + F.col("__rn")).cast("int"))
         .drop("__pid", "__rn", "__off")
     )
-    return docs, sorted_pre
+    return docs, sorted_pre, "twophase"
 
 
 def _execute_build(
@@ -589,7 +616,7 @@ def _execute_build(
                 "or a declared fast field (it is packed into the docmap)"
             )
         order_cols = (sort_field, "key")
-    docs, id_parent = _assign_doc_ids(spark, pre, len(todo), order_cols)
+    docs, id_parent, id_mode = _assign_doc_ids(spark, pre, len(todo), order_cols)
     docs = docs.select(
         "*",
         *[
@@ -611,12 +638,13 @@ def _execute_build(
     docmap = docmap.drop(*[f"toks_{fc.name}" for fc in config.indexed_fields])
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     docmap_out = docmap.drop(*tag_aliases)
-    if id_parent is None:
-        # window path: co-locate each split before the partitioned write
+    if id_mode == "window":
+        # hash-window path: co-locate each split before the write
         docmap_out = docmap_out.repartition("split_id").sortWithinPartitions(
             "doc_id"
         )
-    # twophase path: already range-partitioned by (split_id, key) and
+    # range_window: already ~1:1 partitioned by split and in doc-id
+    # order; twophase: range-partitioned by (split_id, key) and
     # sorted — every task writes a doc-id-ordered slice of ≤2 splits,
     # keeping the write at full parallelism
     (
@@ -645,18 +673,41 @@ def _execute_build(
     # field as a tinyint id: shrinks every shuffled token row and
     # keeps the encoder's sort keys pure ints (strings are restored
     # from the id on output)
-    per_field = [
-        docs.select(
-            "split_id",
-            "doc_id",
-            F.lit(i).cast("tinyint").alias("field_id"),
-            F.posexplode(f"toks_{fc.name}").alias("pos", "term"),
+    # ONE scan + ONE Generate: tag each field's tokens with
+    # (field_id, position) and explode the concatenation. A per-field
+    # union would re-read the cached docs once per field AND hide the
+    # docs partitioning from Catalyst (union output partitioning is
+    # unknown), forcing a full token-row exchange before the encoder;
+    # the single Generate preserves the per-split partitioning so the
+    # groupBy below needs no shuffle at all.
+    def _tagger(fid: int):
+        return lambda t, i: F.struct(
+            F.lit(fid).cast("tinyint").alias("field_id"),
+            i.cast("int").alias("pos"),
+            t.alias("term"),
         )
-        for i, fc in enumerate(config.indexed_fields)
+
+    # coalesce each array: F.concat is null-propagating, and the
+    # default tokenizer yields NULL (not []) for a NULL text field —
+    # without this a doc with one null field would lose ALL its tokens
+    empty = F.array().cast(
+        "array<struct<field_id:tinyint,pos:int,term:string>>"
+    )
+    tagged = [
+        F.coalesce(
+            F.transform(F.col(f"toks_{fc.name}"), _tagger(i_f)), empty
+        )
+        for i_f, fc in enumerate(config.indexed_fields)
     ]
-    tok_rows = per_field[0]
-    for other in per_field[1:]:
-        tok_rows = tok_rows.unionByName(other)
+    tok_rows = docs.select(
+        "split_id", "doc_id", F.explode(F.concat(*tagged)).alias("tok")
+    ).select(
+        "split_id",
+        "doc_id",
+        "tok.field_id",
+        "tok.pos",
+        "tok.term",
+    )
 
     # optional doc-range salt splits hot terms across tasks
     if salt_chunk:

@@ -164,8 +164,8 @@ def test_twophase_doc_ids_equal_window(spark, corpus_rows):
             "doc_id", F.row_number().over(w) - F.lit(1)
         ).collect()
     }
-    docs, parent = _assign_doc_ids(spark, df, 3)  # 3 < 8 parts → twophase
-    assert parent is not None
+    docs, parent, mode = _assign_doc_ids(spark, df, 3)  # 3 < cores → twophase
+    assert mode == "twophase" and parent is not None
     got = {(r["split_id"], r["key"]): r["doc_id"] for r in docs.collect()}
     parent.unpersist()
     assert got == want
@@ -203,3 +203,29 @@ def test_positions_field_not_first(spark, corpus_rows, tmp_path_factory):
             np.array([g[2] for g in got], dtype=np.float32),
             np.array([w[2] for w in want], dtype=np.float32),
         )
+
+
+def test_null_indexed_field_keeps_other_fields(
+    spark, corpus_rows, tmp_path_factory
+):
+    """A NULL value in one indexed field must not drop the doc's tokens
+    from the OTHER fields (the single-Generate token explode concats
+    per-field arrays; array concat is null-propagating without a
+    per-field coalesce)."""
+    import pandas as pd
+
+    from quickwit_spark.operators.build import build_index
+    from quickwit_spark.plans.config import webpages_config
+
+    rows = [dict(r) for r in corpus_rows[:40]]
+    rows[7]["text"] = None
+    rows[7]["lang"] = "xx"
+    index_dir = str(tmp_path_factory.mktemp("idx_nulltext"))
+    df = spark.createDataFrame(pd.DataFrame(rows))
+    metas = build_index(spark, df, index_dir, webpages_config(), num_splits=2)
+    assert sum(m.num_docs for m in metas) == 40
+
+    got = _spark_hits(spark, index_dir, "lang:xx", k=5)
+    assert len(got) == 1, "null-text doc lost its lang/url postings"
+    # and ordinary text search still works around the null doc
+    assert _spark_hits(spark, index_dir, "the", k=5)
