@@ -40,6 +40,7 @@ import time
 
 import numpy as np
 import pandas as pd
+from pyspark import StorageLevel
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -480,9 +481,10 @@ def _assign_doc_ids(
       sampling over num_splits discrete values), and
       RangePartitioning(split_id) STILL satisfies every downstream
       per-split clustering, so the exchange elision (and the zero
-      token shuffle) is preserved with balanced tasks. Costs one
-      extra sampling scan of the input — bounded, and this regime is
-      small by definition.
+      token shuffle) is preserved with balanced tasks. The range
+      boundary sampling re-executes the child plan, so ``pre`` is
+      persisted first (one materialization, not two extract passes) —
+      bounded, and this regime is small by definition.
     - ``twophase`` (fewer splits than cores, where one-task-per-split
       would idle most of the machine): range-repartition by
       (split_id, key) into the full shuffle parallelism, count rows
@@ -506,10 +508,16 @@ def _assign_doc_ids(
         docs = pre.withColumn("doc_id", F.row_number().over(w) - F.lit(1))
         return docs, None, "window"
     if num_splits >= cores:
-        ranged = pre.repartitionByRange(num_splits, F.col("split_id").asc())
+        # persist first: repartitionByRange's boundary-sampling pass
+        # executes the FULL child plan once more (including the HTML
+        # extract), so without this the build pays the extract twice.
+        # Bounded by definition of this regime (few splits, small
+        # batch); spills to disk if it doesn't fit.
+        parent = pre.persist(StorageLevel.MEMORY_AND_DISK)
+        ranged = parent.repartitionByRange(num_splits, F.col("split_id").asc())
         w = Window.partitionBy("split_id").orderBy(*order_cols)
         docs = ranged.withColumn("doc_id", F.row_number().over(w) - F.lit(1))
-        return docs, None, "range_window"
+        return docs, parent, "range_window"
 
     sorted_pre = (
         pre.repartitionByRange(shuffle_parts, "split_id", *order_cols)
