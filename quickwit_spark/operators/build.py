@@ -40,7 +40,6 @@ import time
 
 import numpy as np
 import pandas as pd
-from pyspark import StorageLevel
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -462,29 +461,21 @@ def _assign_doc_ids(
 
     Two strategies, chosen by shape:
 
-    - ``window`` (many splits — the 100 TB regime, where num_splits ≫
-      shuffle partitions): ``row_number() over (partition by split_id
-      order by key)``. Hash-partitions by split_id, so every
-      downstream per-split stage — INCLUDING the token groupBy of the
-      posting encoder — reuses that clustering with NO further
-      exchange (Catalyst elides it: hashpartitioning(split_id)
-      satisfies ClusteredDistribution(split_id, bucket)). With
-      num_splits ≫ partitions each task averages many splits, so the
-      load is balanced AND the 100 TB token stream is never shuffled.
-    - ``range window`` (mid regime — cores ≤ num_splits < 4×shuffle
-      partitions, the single-box bench shape): hashing a handful of
-      splits into the partition space leaves most partitions empty
-      and stacks up to ~3 splits on one task (balls-in-bins) —
-      measured as a 3× encode straggler that caps scaling at high
-      core counts. ``repartitionByRange(num_splits, split_id)``
-      instead maps splits ~1:1 onto partitions (range boundaries from
-      sampling over num_splits discrete values), and
-      RangePartitioning(split_id) STILL satisfies every downstream
-      per-split clustering, so the exchange elision (and the zero
-      token shuffle) is preserved with balanced tasks. The range
-      boundary sampling re-executes the child plan, so ``pre`` is
-      persisted first (one materialization, not two extract passes) —
-      bounded, and this regime is small by definition.
+    - ``window`` (num_splits ≥ cores — includes the 100 TB regime,
+      where num_splits ≫ shuffle partitions): ``row_number() over
+      (partition by split_id order by key)``. One task per split;
+      with many splits per partition the load balances by averaging,
+      and each window sorts ≤ split_num_docs_target rows.
+
+      A ``repartitionByRange(num_splits, split_id)`` variant (1:1
+      split→partition mapping to smooth the balls-in-bins stacking
+      when num_splits ≈ cores) was tried and REJECTED: the range
+      boundary sampling re-executes the child plan, so the raw rows
+      must be persisted first, and writing + re-reading that
+      multi-GB MEMORY_AND_DISK cache of wide raw-text rows cost ~2×
+      the whole build in same-window A/B (230s vs 120s on the
+      2M-doc/8-core bench) — far more than the ≤3-splits-on-one-task
+      skew it removed.
     - ``twophase`` (fewer splits than cores, where one-task-per-split
       would idle most of the machine): range-repartition by
       (split_id, key) into the full shuffle parallelism, count rows
@@ -502,22 +493,11 @@ def _assign_doc_ids(
     """
     cores = spark.sparkContext.defaultParallelism
     shuffle_parts = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
-    if num_splits >= 4 * shuffle_parts:
-        # splits ≫ partitions: balanced by averaging, exchange-free
+    if num_splits >= cores:
+        # one task per split already saturates the executors
         w = Window.partitionBy("split_id").orderBy(*order_cols)
         docs = pre.withColumn("doc_id", F.row_number().over(w) - F.lit(1))
         return docs, None, "window"
-    if num_splits >= cores:
-        # persist first: repartitionByRange's boundary-sampling pass
-        # executes the FULL child plan once more (including the HTML
-        # extract), so without this the build pays the extract twice.
-        # Bounded by definition of this regime (few splits, small
-        # batch); spills to disk if it doesn't fit.
-        parent = pre.persist(StorageLevel.MEMORY_AND_DISK)
-        ranged = parent.repartitionByRange(num_splits, F.col("split_id").asc())
-        w = Window.partitionBy("split_id").orderBy(*order_cols)
-        docs = ranged.withColumn("doc_id", F.row_number().over(w) - F.lit(1))
-        return docs, parent, "range_window"
 
     sorted_pre = (
         pre.repartitionByRange(shuffle_parts, "split_id", *order_cols)
@@ -651,8 +631,7 @@ def _execute_build(
         docmap_out = docmap_out.repartition("split_id").sortWithinPartitions(
             "doc_id"
         )
-    # range_window: already ~1:1 partitioned by split and in doc-id
-    # order; twophase: range-partitioned by (split_id, key) and
+    # twophase path: already range-partitioned by (split_id, key) and
     # sorted — every task writes a doc-id-ordered slice of ≤2 splits,
     # keeping the write at full parallelism
     (
@@ -681,41 +660,29 @@ def _execute_build(
     # field as a tinyint id: shrinks every shuffled token row and
     # keeps the encoder's sort keys pure ints (strings are restored
     # from the id on output)
-    # ONE scan + ONE Generate: tag each field's tokens with
-    # (field_id, position) and explode the concatenation. A per-field
-    # union would re-read the cached docs once per field AND hide the
-    # docs partitioning from Catalyst (union output partitioning is
-    # unknown), forcing a full token-row exchange before the encoder;
-    # the single Generate preserves the per-split partitioning so the
-    # groupBy below needs no shuffle at all.
-    def _tagger(fid: int):
-        return lambda t, i: F.struct(
-            F.lit(fid).cast("tinyint").alias("field_id"),
-            i.cast("int").alias("pos"),
-            t.alias("term"),
+    # Per-field posexplode + union, NOT a single tagged Generate over
+    # concat(transform(...struct...)): building an array-of-structs per
+    # doc just to explode it costs ~2x the whole build in codegen
+    # allocation (measured 216s vs 111s on the 2M-doc bench; the
+    # struct wrap + array concat materialize every token twice).
+    # posexplode of the raw string arrays is the cheap path. The union
+    # also hides the docs partitioning from Catalyst (union output
+    # partitioning is unknown), which FORCES a token exchange onto the
+    # group keys below — desirable: it breaks the cache-scan + explode
+    # + giant per-split sort fusion and runs the encoder at shuffle
+    # width over compact token rows instead of one task per split.
+    per_field = [
+        docs.select(
+            "split_id",
+            "doc_id",
+            F.lit(i).cast("tinyint").alias("field_id"),
+            F.posexplode(f"toks_{fc.name}").alias("pos", "term"),
         )
-
-    # coalesce each array: F.concat is null-propagating, and the
-    # default tokenizer yields NULL (not []) for a NULL text field —
-    # without this a doc with one null field would lose ALL its tokens
-    empty = F.array().cast(
-        "array<struct<field_id:tinyint,pos:int,term:string>>"
-    )
-    tagged = [
-        F.coalesce(
-            F.transform(F.col(f"toks_{fc.name}"), _tagger(i_f)), empty
-        )
-        for i_f, fc in enumerate(config.indexed_fields)
+        for i, fc in enumerate(config.indexed_fields)
     ]
-    tok_rows = docs.select(
-        "split_id", "doc_id", F.explode(F.concat(*tagged)).alias("tok")
-    ).select(
-        "split_id",
-        "doc_id",
-        "tok.field_id",
-        "tok.pos",
-        "tok.term",
-    )
+    tok_rows = per_field[0]
+    for other in per_field[1:]:
+        tok_rows = tok_rows.unionByName(other)
 
     # optional doc-range salt splits hot terms across tasks
     if salt_chunk:

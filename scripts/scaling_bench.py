@@ -113,6 +113,19 @@ def run_worker(cores: int, docs: int, runs: int = 2) -> None:
         last_idx = idx
 
     queries = {}
+    if os.environ.get("QWS_SKIP_QUERIES"):
+        shutil.rmtree(last_idx, ignore_errors=True)
+        print(
+            json.dumps(
+                {
+                    "cores": cores,
+                    "docs": best[1],
+                    "build_secs": round(best[0], 3),
+                    "docs_per_sec": round(best[1] / best[0], 1),
+                }
+            )
+        )
+        return
     for name, q in SEARCHES.items():
         times = []
         for _ in range(3):
