@@ -72,6 +72,16 @@ def stage_corpus(docs: int) -> None:
     spark.stop()
 
 
+def _cpu_stat() -> tuple[int, int]:
+    """(steal_jiffies, total_jiffies) from /proc/stat — quantifies
+    hypervisor noise during a timed run."""
+    with open("/proc/stat") as f:
+        parts = f.readline().split()[1:]
+    vals = [int(x) for x in parts]
+    steal = vals[7] if len(vals) > 7 else 0
+    return steal, sum(vals)
+
+
 def run_worker(cores: int, docs: int, runs: int = 2) -> None:
     from quickwit_spark.operators.build import build_index
     from quickwit_spark.operators.search import SearchRequest, search_df
@@ -96,16 +106,27 @@ def run_worker(cores: int, docs: int, runs: int = 2) -> None:
     shutil.rmtree(idx, ignore_errors=True)
 
     best, last_idx = None, None
+    run_detail = []
     for _ in range(runs):
         idx = tempfile.mkdtemp(prefix=f"qws_scale_{cores}_")
         shutil.rmtree(idx)
+        st0, tot0 = _cpu_stat()
         t0 = time.time()
         metas = build_index(
             spark, pages, idx, webpages_config(),
             num_splits=NUM_SPLITS, term_buckets=SHUFFLE_PARTITIONS,
         )
         secs = time.time() - t0
+        st1, tot1 = _cpu_stat()
         built = sum(m.num_docs for m in metas)
+        run_detail.append(
+            {
+                "secs": round(secs, 3),
+                "docs_per_sec": round(built / secs, 1),
+                "steal_pct": round(100.0 * (st1 - st0) / max(tot1 - tot0, 1), 2),
+                "phase_secs": metas[0].lineage["phase_secs"],
+            }
+        )
         if best is None or secs < best[0]:
             best = (secs, built)
         if last_idx:
@@ -122,6 +143,7 @@ def run_worker(cores: int, docs: int, runs: int = 2) -> None:
                     "docs": best[1],
                     "build_secs": round(best[0], 3),
                     "docs_per_sec": round(best[1] / best[0], 1),
+                    "runs": run_detail,
                 }
             )
         )
@@ -142,13 +164,14 @@ def run_worker(cores: int, docs: int, runs: int = 2) -> None:
                 "docs": best[1],
                 "build_secs": round(best[0], 3),
                 "docs_per_sec": round(best[1] / best[0], 1),
+                "runs": run_detail,
                 "query_p50": queries,
             }
         )
     )
 
 
-def run_wrapper(levels: list[int], docs: int, reps: int = 5) -> None:
+def run_wrapper(levels: list[int], docs: int, reps: int = 5, runs: int = 1) -> None:
     """Interleaved A/B protocol: alternate the levels within ONE quiet
     window (lo, hi, lo, hi, …), one fresh-JVM warmed build each, and
     compare per-level MEDIANS — so a noisy-neighbor phase hits both
@@ -159,7 +182,8 @@ def run_wrapper(levels: list[int], docs: int, reps: int = 5) -> None:
         for cores in levels:
             out = subprocess.run(
                 [sys.executable, os.path.abspath(__file__),
-                 "--cores", str(cores), "--docs", str(docs), "--runs", "1"],
+                 "--cores", str(cores), "--docs", str(docs),
+                 "--runs", str(runs)],
                 capture_output=True, text=True, cwd=REPO, check=True,
             )
             line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
@@ -175,8 +199,11 @@ def run_wrapper(levels: list[int], docs: int, reps: int = 5) -> None:
             name: round(
                 statistics.median(s["query_p50"][name] for s in samples[cores]), 3
             )
-            for name in samples[cores][0]["query_p50"]
+            for name in samples[cores][0].get("query_p50", {})
         }
+        steals = [
+            r["steal_pct"] for s in samples[cores] for r in s.get("runs", [])
+        ]
         results[cores] = {
             "cores": cores,
             "docs": samples[cores][0]["docs"],
@@ -185,6 +212,7 @@ def run_wrapper(levels: list[int], docs: int, reps: int = 5) -> None:
             ),
             "docs_per_sec": round(med, 1),
             "samples_docs_per_sec": tputs,
+            "steal_pct": steals,
             "query_p50": qmed,
         }
 
@@ -204,7 +232,8 @@ def run_wrapper(levels: list[int], docs: int, reps: int = 5) -> None:
         "protocol": f"interleaved A/B, median of {reps} per level",
     }
     print(json.dumps(summary))
-    _write_bench_md(summary)
+    if not os.environ.get("QWS_SKIP_QUERIES"):
+        _write_bench_md(summary)
 
 
 def _write_bench_md(s: dict) -> None:
@@ -293,7 +322,12 @@ def main() -> None:
     if args.cores:
         run_worker(args.cores, args.docs, args.runs)
     else:
-        run_wrapper([int(x) for x in args.levels.split(",")], args.docs, args.reps)
+        run_wrapper(
+            [int(x) for x in args.levels.split(",")],
+            args.docs,
+            args.reps,
+            args.runs,
+        )
 
 
 if __name__ == "__main__":
