@@ -297,7 +297,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         out = fetch_docs(spark, idx, hits, columns=["key"])
         return out.select(
             F.col("key").cast("long").alias("doc_id"),
-            F.col("score").cast("long").alias("n_chars"),
+            F.col("sort_long").alias("n_chars"),
         )
 
     q["sort_by_fast_field"] = sort_by_fast_field
@@ -564,7 +564,7 @@ FROM doclen
 
     o["search_term_topk"] = bm25_base + _bm25_term_cte("t_spark", "spark") + """
 SELECT doc_id, round(score, 3) AS score FROM t_spark
-ORDER BY score DESC, doc_id ASC LIMIT 10
+ORDER BY score DESC, CAST(doc_id AS VARCHAR) ASC LIMIT 10
 """
 
     o["search_and"] = (
@@ -585,7 +585,7 @@ FROM t_spark a JOIN t_window b ON a.doc_id = b.doc_id
 SELECT doc_id, round(sum(score), 3) AS score
 FROM (SELECT * FROM t_spark UNION ALL SELECT * FROM t_window)
 GROUP BY doc_id
-ORDER BY score DESC, doc_id ASC LIMIT 10
+ORDER BY score DESC, CAST(doc_id AS VARCHAR) ASC LIMIT 10
 """
     )
 
@@ -649,7 +649,7 @@ FROM t_spark a JOIN t_src t ON t.doc_id = a.doc_id
         + """
 SELECT doc_id, round(score, 3) AS score
 FROM t_value
-ORDER BY score DESC, doc_id ASC LIMIT 10 OFFSET 5
+ORDER BY score DESC, CAST(doc_id AS VARCHAR) ASC LIMIT 10 OFFSET 5
 """
     )
 
@@ -665,7 +665,7 @@ SELECT count(*) AS num_hits FROM (
 SELECT d.doc_id, d.n_chars
 FROM documents d
 WHERE d.doc_id IN (SELECT doc_id FROM toks WHERE term = 'spark')
-ORDER BY d.n_chars DESC, d.doc_id ASC LIMIT 10
+ORDER BY d.n_chars DESC, CAST(d.doc_id AS VARCHAR) ASC LIMIT 10
 """
 
     o["search_stream_export"] = _with(_TOKS_CTE) + """

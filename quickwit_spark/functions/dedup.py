@@ -136,13 +136,26 @@ def ngram_jaccard_pairs(
     key_col: str = "doc_id",
     k: int = 3,
     threshold: float = 0.8,
+    candidates: DataFrame | None = None,
 ) -> DataFrame:
     """Exact Jaccard over k-shingle sets for pairs sharing ≥1
-    shingle; emits pairs with jaccard ≥ threshold (rounded 6dp)."""
+    shingle; emits pairs with jaccard ≥ threshold (rounded 6dp).
+
+    ``candidates`` (key_a, key_b) restricts the quadratic shingle
+    self-join to candidate docs and the output to candidate pairs —
+    the post-LSH verifier shape that makes this usable at corpus
+    scale (standalone it is quadratic in docs sharing a shingle)."""
     sh = df.select(
         F.col(key_col).alias("key"),
         F.explode(shingle_col(F.col(text_col), k)).alias("shingle"),
     )
+    if candidates is not None:
+        ckeys = (
+            candidates.select(F.col("key_a").alias("key"))
+            .unionByName(candidates.select(F.col("key_b").alias("key")))
+            .distinct()
+        )
+        sh = sh.join(ckeys, "key", "left_semi")
     sizes = sh.groupBy("key").agg(F.count("*").alias("sz"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -151,6 +164,10 @@ def ngram_jaccard_pairs(
         .groupBy(F.col("a.key").alias("key_a"), F.col("b.key").alias("key_b"))
         .agg(F.count("*").alias("n_common"))
     )
+    if candidates is not None:
+        inter = inter.join(
+            candidates.select("key_a", "key_b"), ["key_a", "key_b"], "left_semi"
+        )
     sa = sizes.select(F.col("key").alias("key_a"), F.col("sz").alias("sz_a"))
     sb = sizes.select(F.col("key").alias("key_b"), F.col("sz").alias("sz_b"))
     # plain equi-joins: `sizes` is one row PER DOC, so at corpus scale
@@ -286,8 +303,12 @@ def connected_components(
         )
         labels = new
         if changed == 0:
-            break
-    return labels
+            return labels
+    raise RuntimeError(
+        f"connected_components did not converge in {max_iter} rounds "
+        f"({changed} labels still changing) — the dup graph has a "
+        f"longer chain than expected; raise max_iter"
+    )
 
 
 def near_dup_groups(
@@ -316,44 +337,9 @@ def near_dup_groups(
         sigs, bands, rows_per_band, max_bucket_size=max_bucket_size
     )
     # exact verification restricted to candidate docs/pairs
-    sh = df.select(
-        F.col(key_col).alias("key"),
-        F.explode(shingle_col(F.col(text_col), shingle_k)).alias("shingle"),
-    )
-    ckeys = (
-        cand.select(F.col("key_a").alias("key"))
-        .unionByName(cand.select(F.col("key_b").alias("key")))
-        .distinct()
-    )
-    csh = sh.join(ckeys, "key", "left_semi")
-    sizes = csh.groupBy("key").agg(F.count("*").alias("sz"))
-    a, b = csh.alias("a"), csh.alias("b")
-    inter = (
-        a.join(
-            b,
-            (F.col("a.shingle") == F.col("b.shingle"))
-            & (F.col("a.key") < F.col("b.key")),
-        )
-        .groupBy(F.col("a.key").alias("key_a"), F.col("b.key").alias("key_b"))
-        .agg(F.count("*").alias("n_common"))
-        .join(cand, ["key_a", "key_b"], "left_semi")
-    )
-    sa = sizes.select(F.col("key").alias("key_a"), F.col("sz").alias("sz_a"))
-    sb = sizes.select(F.col("key").alias("key_b"), F.col("sz").alias("sz_b"))
-    verified = (
-        inter.join(sa, "key_a")
-        .join(sb, "key_b")
-        .withColumn(
-            "jaccard",
-            F.round(
-                F.col("n_common")
-                / (F.col("sz_a") + F.col("sz_b") - F.col("n_common")),
-                6,
-            ),
-        )
-        .filter(F.col("jaccard") >= threshold)
-        .select("key_a", "key_b")
-    )
+    verified = ngram_jaccard_pairs(
+        df, text_col, key_col, shingle_k, threshold, candidates=cand
+    ).select("key_a", "key_b")
     comps = connected_components(verified)
     from pyspark.sql import Window
 

@@ -309,9 +309,18 @@ def write_fastfields(ms: Metastore, config: IndexConfig, docmap: DataFrame) -> N
             rows.append((sid, f"ts_{ts_field}", micros.to_numpy().tobytes()))
         return pd.DataFrame(rows, columns=["split_id", "name", "data"])
 
-    ff_select = ["split_id", "doc_id", *ff_cols, *numeric_ff] + (
-        [ts_field] if ts_field else []
-    )
+    # nulls → 0 on the JVM side: a nullable int column crossing Arrow
+    # into pandas becomes float64, which silently rounds |v| > 2^53 —
+    # coalescing first keeps the column int64 end-to-end.
+    ff_select = [
+        "split_id",
+        "doc_id",
+        *ff_cols,
+        *[
+            F.coalesce(F.col(f), F.lit(0).cast("long")).alias(f)
+            for f in numeric_ff
+        ],
+    ] + ([ts_field] if ts_field else [])
     fastfields = (
         docmap.select(*ff_select)
         .groupBy("split_id")
@@ -335,12 +344,20 @@ def _default_num_splits(df: DataFrame, config: IndexConfig) -> int:
     est_doc_bytes = 512  # compressed web doc, order-of-magnitude
     total = 0
     try:
-        for f in df.inputFiles():
+        files = df.inputFiles()
+        sc = df.sparkSession.sparkContext
+        jvm = sc._jvm
+        hconf = sc._jsc.hadoopConfiguration()
+        for f in files:
             p = f.removeprefix("file:")
-            if not os.path.exists(p):
-                total = 0
-                break
-            total += os.path.getsize(p)
+            if os.path.exists(p):  # local fast path, no JVM round-trip
+                total += os.path.getsize(p)
+                continue
+            # remote URI (s3a://, hdfs://, …): driver-side metadata
+            # lookup via the Hadoop FS API — never a data scan.
+            jpath = jvm.org.apache.hadoop.fs.Path(f)
+            fs = jpath.getFileSystem(hconf)
+            total += fs.getFileStatus(jpath).getLen()
     except Exception:
         total = 0
     approx = total // est_doc_bytes if total else df.count()

@@ -298,8 +298,11 @@ def evaluate_split(
         docs, scores = docs[mask], scores[mask]
     num_hits = int(docs.size)
     if sort_field is not None:
-        vals = sort_values[docs].astype(np.float64)
-        order_key = vals if sort_asc else -vals
+        # keep the integer dtype: float64 silently rounds |v| > 2^53.
+        # Descending order via bitwise NOT (x → -x-1), a strictly
+        # decreasing map with no negation overflow.
+        vals = sort_values[docs]
+        order_key = vals if sort_asc else ~vals
     else:
         vals = scores.astype(np.float64)
         order_key = -vals

@@ -36,7 +36,10 @@ from quickwit_spark.plans.metastore import Metastore
 from quickwit_spark.plans.parser import parse_query, query_terms, resolve_query
 from quickwit_spark.plans.pruning import prune_splits, split_fully_inside
 
-HITS_SCHEMA = "split_id int, doc_id long, score double, split_num_hits long"
+HITS_SCHEMA = (
+    "split_id int, doc_id long, score double, sort_long long, "
+    "split_num_hits long"
+)
 
 
 class Searcher:
@@ -170,7 +173,10 @@ def _make_evaluator(
         info = infos.get(sid)
         if info is None or len(ff_pdf) == 0:
             return pd.DataFrame(
-                columns=["split_id", "doc_id", "score", "split_num_hits"]
+                columns=[
+                    "split_id", "doc_id", "score", "sort_long",
+                    "split_num_hits",
+                ]
             )
         norms = {}
         ts_arr = None
@@ -215,11 +221,19 @@ def _make_evaluator(
             emit_all=emit_all,
             count_exact=count_exact,
         )
+        # integer sort values (fast-field / ts / norm sorts) also ride
+        # in an EXACT int64 column — `score` is float64, which rounds
+        # |v| > 2^53 (a 64-bit id would corrupt there)
+        if np.issubdtype(vals.dtype, np.integer):
+            sort_long = pd.Series(vals.astype(np.int64), dtype="Int64")
+        else:
+            sort_long = pd.Series([pd.NA] * docs.size, dtype="Int64")
         return pd.DataFrame(
             {
                 "split_id": np.full(docs.size, sid, dtype=np.int32),
                 "doc_id": docs.astype(np.int64),
                 "score": vals.astype(np.float64),
+                "sort_long": sort_long,
                 "split_num_hits": np.full(docs.size, num_hits, dtype=np.int64),
             }
         )
@@ -261,6 +275,18 @@ def _evaluate(
                 raise ValueError(
                     f"sort field {sort_field!r} is not a declared fast field"
                 )
+            # only integer-typed fast fields are packed as ff_ blobs
+            # (build.write_fastfields numeric_ff rule) — fail fast on
+            # the driver instead of a NoneType crash in the executor.
+            dtypes = dict(searcher.table("docmap").dtypes)
+            if dtypes.get(sort_field) not in (
+                "tinyint", "smallint", "int", "bigint"
+            ):
+                raise ValueError(
+                    f"sort field {sort_field!r} has type "
+                    f"{dtypes.get(sort_field)!r}; only integer fast "
+                    "fields are engine-sortable"
+                )
             sort_field = f"ff_{sort_field}"
         extra = [sort_field]
     else:
@@ -293,10 +319,15 @@ def search_df(spark: SparkSession, index_dir: str, req: SearchRequest) -> DataFr
     # top-k only: the evaluator may use block-max WAND (no exact count)
     hits, _, _ = _evaluate(spark, index_dir, req, emit_all=False, count_exact=False)
     if hits is None:
-        return spark.createDataFrame([], "split_id int, doc_id long, score double")
+        return spark.createDataFrame(
+            [], "split_id int, doc_id long, score double, sort_long long"
+        )
     asc = req.sort_asc and req.sort_field is not None
-    score_order = F.col("score").asc() if asc else F.col("score").desc()
-    ordered = hits.select("split_id", "doc_id", "score").orderBy(
+    # fast-field sorts merge on the exact int64 column, not the
+    # possibly-rounded double
+    sort_col = F.col("sort_long") if req.sort_field is not None else F.col("score")
+    score_order = sort_col.asc() if asc else sort_col.desc()
+    ordered = hits.select("split_id", "doc_id", "score", "sort_long").orderBy(
         score_order, F.col("split_id").asc(), F.col("doc_id").asc()
     )
     limited = ordered.limit(req.k + req.offset)
@@ -345,9 +376,12 @@ def search_with_count(
     hits = hits.persist()
     try:
         asc = req.sort_asc and req.sort_field is not None
-        score_order = F.col("score").asc() if asc else F.col("score").desc()
+        sort_col = (
+            F.col("sort_long") if req.sort_field is not None else F.col("score")
+        )
+        score_order = sort_col.asc() if asc else sort_col.desc()
         rows = (
-            hits.select("split_id", "doc_id", "score")
+            hits.select("split_id", "doc_id", "score", "sort_long")
             .orderBy(score_order, F.col("split_id").asc(), F.col("doc_id").asc())
             .limit(wanted)
             .collect()

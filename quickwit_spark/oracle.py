@@ -61,10 +61,14 @@ class OracleIndex:
             by_split[sid].append(row)
         for sid, docs in by_split.items():
             if config.sort_by_field:
-                # index sorting: doc ids follow (sort field, key)
+                # index sorting: doc ids follow (sort field, key);
+                # nulls first, matching the engine's Window.orderBy
                 docs.sort(
                     key=lambda r: (
-                        r[config.sort_by_field],
+                        r[config.sort_by_field] is not None,
+                        r[config.sort_by_field]
+                        if r[config.sort_by_field] is not None
+                        else 0,
                         str(r[config.key_field]),
                     )
                 )

@@ -133,7 +133,7 @@ def search_endpoint(
     # total (the reference leaf response carries both)
     hit_rows, num_hits = search_with_count(spark, index_dir, req)
     hits_df = spark.createDataFrame(
-        hit_rows, "split_id int, doc_id long, score double"
+        hit_rows, "split_id int, doc_id long, score double, sort_long long"
     )
     docs = fetch_docs(spark, index_dir, hits_df).collect()
     agg_result = None
@@ -141,16 +141,25 @@ def search_endpoint(
         from quickwit_spark.operators.aggregations import run_aggregations
 
         agg_result = run_aggregations(spark, index_dir, req, aggs)
-    # rank order: score path desc, sort-field path per sort_asc
+    # rank order: score path desc, sort-field path per sort_asc —
+    # sort-field ranks use the exact int64 (score rounds |v| > 2^53)
     asc = req.sort_asc and req.sort_field is not None
-    docs.sort(
-        key=lambda r: ((r["score"] if asc else -r["score"]), r["split_id"], r["doc_id"])
-    )
+    if req.sort_field is not None:
+        docs.sort(
+            key=lambda r: (
+                r["sort_long"] if asc else ~r["sort_long"],
+                r["split_id"],
+                r["doc_id"],
+            )
+        )
+    else:
+        docs.sort(key=lambda r: (-r["score"], r["split_id"], r["doc_id"]))
     hit_docs = []
     for r in docs:
         d = r.asDict()
         d.pop("split_id", None)
         d.pop("doc_id", None)
+        d.pop("sort_long", None)
         doc = {
             k: (v.isoformat() if hasattr(v, "isoformat") else v)
             for k, v in d.items()
@@ -216,6 +225,13 @@ def _make_handler(spark: SparkSession, root_dir: str):
             except ValueError as e:  # parser/sort-field errors
                 self._respond(400, {"error": str(e)}, pretty)
                 return
+            except Exception as e:  # noqa: BLE001 — rest_handler parity:
+                # every failure returns an HTTP status, never a reset
+                # socket (Spark/Py4J errors surface as 500 JSON).
+                self._respond(
+                    500, {"error": f"{type(e).__name__}: {e}"}, pretty
+                )
+                return
             self._respond(200, resp, pretty)
 
         def do_GET(self):
@@ -229,6 +245,9 @@ def _make_handler(spark: SparkSession, root_dir: str):
                 params = json.loads(self.rfile.read(n) or b"{}")
             except json.JSONDecodeError:
                 self._respond(400, {"error": "invalid JSON body"}, False)
+                return
+            if not isinstance(params, dict):
+                self._respond(400, {"error": "body must be a JSON object"}, False)
                 return
             self._handle(params)
 

@@ -84,53 +84,42 @@ def main() -> None:
             with open(log) as f:
                 yield from f
 
-    if True:
-        for line in lines():
-            try:
-                ev = json.loads(line)
-            except json.JSONDecodeError:
+    # pass 1: stages only; pass 2: task accounting (TaskEnd events can
+    # appear on either side of their StageCompleted, so counting in a
+    # single combined pass would double-count the late ones)
+    for line in lines():
+        try:
+            ev = json.loads(line)
+        except json.JSONDecodeError:
+            continue
+        if ev.get("Event") == "SparkListenerStageCompleted":
+            si = ev["Stage Info"]
+            sub = si.get("Submission Time", 0) / 1000.0
+            if sub < mark:
                 continue
-            if ev.get("Event") == "SparkListenerStageCompleted":
-                si = ev["Stage Info"]
-                sub = si.get("Submission Time", 0) / 1000.0
-                if sub < mark:
-                    continue
-                comp = si.get("Completion Time", 0) / 1000.0
-                stages[si["Stage ID"]] = {
-                    "name": si["Stage Name"].split("\n")[0][:70],
-                    "tasks": si["Number of Tasks"],
-                    "wall": round(comp - sub, 2),
-                    "sub": round(sub - mark, 2),
-                }
-            elif ev.get("Event") == "SparkListenerTaskEnd":
-                sid = ev["Stage ID"]
-                if sid in stages:
-                    ti = ev["Task Info"]
-                    dur = (ti["Finish Time"] - ti["Launch Time"]) / 1000.0
-                    st = stages[sid]
-                    st["task_sum"] = round(st.get("task_sum", 0) + dur, 2)
-                    st["task_max"] = round(max(st.get("task_max", 0), dur), 2)
+            comp = si.get("Completion Time", 0) / 1000.0
+            stages[si["Stage ID"]] = {
+                "name": si["Stage Name"].split("\n")[0][:70],
+                "tasks": si["Number of Tasks"],
+                "wall": round(comp - sub, 2),
+                "sub": round(sub - mark, 2),
+            }
 
-    # TaskEnd events appear before StageCompleted; second pass
-    if True:
-        for line in lines():
-            try:
-                ev = json.loads(line)
-            except json.JSONDecodeError:
-                continue
-            if ev.get("Event") == "SparkListenerTaskEnd":
-                sid = ev["Stage ID"]
-                if sid in stages and "task_sum" not in stages[sid]:
-                    stages[sid]["task_sum"] = 0.0
-                if sid in stages:
-                    ti = ev["Task Info"]
-                    dur = (ti["Finish Time"] - ti["Launch Time"]) / 1000.0
-                    st = stages[sid]
-                    st["task_sum"] = round(st.get("task_sum", 0) + dur, 2)
-                    st["task_max"] = round(max(st.get("task_max", 0), dur), 2)
+    for line in lines():
+        try:
+            ev = json.loads(line)
+        except json.JSONDecodeError:
+            continue
+        if ev.get("Event") == "SparkListenerTaskEnd":
+            sid = ev["Stage ID"]
+            if sid in stages:
+                ti = ev["Task Info"]
+                dur = (ti["Finish Time"] - ti["Launch Time"]) / 1000.0
+                st = stages[sid]
+                st["task_sum"] = round(st.get("task_sum", 0) + dur, 2)
+                st["task_max"] = round(max(st.get("task_max", 0), dur), 2)
 
     print(json.dumps({"cores": args.cores, "wall": round(wall, 2)}))
-    gap_prev_end = 0.0
     for sid in sorted(stages):
         st = stages[sid]
         ideal = st.get("task_sum", 0) / args.cores

@@ -229,3 +229,60 @@ def test_null_indexed_field_keeps_other_fields(
     assert len(got) == 1, "null-text doc lost its lang/url postings"
     # and ordinary text search still works around the null doc
     assert _spark_hits(spark, index_dir, "the", k=5)
+
+
+def test_sort_by_non_integer_fast_field_raises(spark, tmp_path_factory):
+    """A declared but non-integer fast field is fetchable, not
+    engine-sortable — must fail fast on the driver, not as a NoneType
+    crash inside the executor UDF."""
+    from quickwit_spark.operators.build import build_index
+    from quickwit_spark.plans.config import FieldConfig, IndexConfig
+
+    index_dir = str(tmp_path_factory.mktemp("ffstr") / "idx")
+    cfg = IndexConfig(
+        fields=(FieldConfig("text", tokenizer="default"),),
+        key_field="k",
+        default_search_fields=("text",),
+        fast_fields=("lang",),
+    )
+    df = spark.createDataFrame(
+        [("a", "hello world", "en"), ("b", "hello there", "de")],
+        "k string, text string, lang string",
+    )
+    build_index(spark, df, index_dir, cfg, num_splits=1)
+    with pytest.raises(ValueError, match="engine-sortable"):
+        search_df(
+            spark, index_dir, SearchRequest(query="hello", sort_field="lang")
+        )
+
+
+def test_fastfield_bigint_nulls_pack_exact(spark, tmp_path_factory):
+    """A nullable bigint fast field must round-trip exactly — values
+    above 2^53 corrupt silently if the column crosses into pandas as
+    float64 (nulls pack as 0, tantivy default-value parity)."""
+    from quickwit_spark.operators.build import build_index
+    from quickwit_spark.plans.config import FieldConfig, IndexConfig
+
+    big = (1 << 53) + 1
+    index_dir = str(tmp_path_factory.mktemp("ffbig") / "idx")
+    cfg = IndexConfig(
+        fields=(FieldConfig("text", tokenizer="default"),),
+        key_field="k",
+        default_search_fields=("text",),
+        fast_fields=("v",),
+    )
+    df = spark.createDataFrame(
+        [
+            ("a", "common one", big),
+            ("b", "common two", None),
+            ("c", "common three", big + 2),
+        ],
+        "k string, text string, v long",
+    )
+    build_index(spark, df, index_dir, cfg, num_splits=1)
+    hits = search_df(
+        spark,
+        index_dir,
+        SearchRequest(query="common", k=3, sort_field="v", sort_asc=True),
+    )
+    assert [int(r["sort_long"]) for r in hits.collect()] == [0, big, big + 2]

@@ -288,3 +288,13 @@ def test_embedding_near_dup_bucket_cap(spark):
         df, dim=8, threshold=0.99, max_bucket_size=10
     )
     assert capped.count() == 0
+
+
+def test_connected_components_unconverged_raises(spark):
+    from quickwit_spark.functions.dedup import connected_components
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4)], "key_a long, key_b long"
+    )
+    with pytest.raises(RuntimeError, match="converge"):
+        connected_components(edges, max_iter=1)

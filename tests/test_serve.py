@@ -133,3 +133,31 @@ def test_agg_only_max_hits_zero(server, oracle_index):
     assert resp["hits"] == []
     assert resp["num_hits"] == oracle_index.count("word")
     assert resp["aggregations"]["lens"]["count"] == resp["num_hits"]
+
+
+def test_post_non_object_body_rejected(server):
+    port, index_id = server
+    req = urllib.request.Request(
+        f"http://127.0.0.1:{port}/api/v1/{index_id}/search",
+        data=json.dumps([1, 2]).encode(),
+        headers={"content-type": "application/json"},
+    )
+    with pytest.raises(urllib.error.HTTPError) as ei:
+        urllib.request.urlopen(req)
+    assert ei.value.code == 400
+    assert "JSON object" in json.loads(ei.value.read())["error"]
+
+
+def test_internal_error_returns_500(server, built_index):
+    # a structurally-broken index raises past the 400 handlers; the
+    # server must still answer with a JSON 500, never a reset socket
+    # (rest_handler parity: every failure is an HTTP status)
+    port, _ = server
+    root = os.path.dirname(built_index)
+    broken = os.path.join(root, "broken_idx")
+    os.makedirs(broken, exist_ok=True)
+    with open(os.path.join(broken, "manifest.json"), "w") as f:
+        f.write("{}")
+    status, resp = _get(port, "/api/v1/broken_idx/search?query=x")
+    assert status == 500
+    assert "error" in resp
