@@ -93,6 +93,11 @@ def run_worker(cores: int, docs: int, runs: int = 2) -> None:
         f"scaling_bench_{cores}",
         cores=cores,
         shuffle_partitions=SHUFFLE_PARTITIONS,
+        # the 2 GB staged corpus yields only ~15 input tasks at the
+        # 128 MB default — a tail-limited read stage at ≥8 cores.
+        # 32 MB keeps the scan ≥ 2 waves at every level (identical
+        # task graph across levels either way).
+        extra_conf={"spark.sql.files.maxPartitionBytes": str(32 * 1024 * 1024)},
     )
     pages = with_extracted_text(spark.read.parquet(CORPUS_PATH))
 
