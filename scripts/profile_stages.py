@@ -47,6 +47,8 @@ def main() -> None:
             "spark.eventLog.dir": EVDIR,
             "spark.eventLog.compress": "false",
             "spark.eventLog.rolling.enabled": "false",
+            # match scaling_bench: >=2 read waves at every level
+            "spark.sql.files.maxPartitionBytes": str(32 * 1024 * 1024),
         },
     )
     pages = with_extracted_text(spark.read.parquet(CORPUS_PATH))
