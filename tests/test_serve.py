@@ -161,3 +161,19 @@ def test_internal_error_returns_500(server, built_index):
     status, resp = _get(port, "/api/v1/broken_idx/search?query=x")
     assert status == 500
     assert "error" in resp
+
+
+def test_sort_by_field_ranking(server):
+    # engine-sorted request: hits must come back rank-ordered by the
+    # fast field (exact int64 path), newest first for "-warc_ts"
+    port, index_id = server
+    status, resp = _get(
+        port,
+        f"/api/v1/{index_id}/search?query=word&maxHits=8"
+        "&sortByField=-warc_ts",
+    )
+    assert status == 200
+    ts = [h["warc_ts"] for h in resp["hits"]]
+    assert len(ts) == 8
+    assert ts == sorted(ts, reverse=True)
+    assert all("sort_long" not in h for h in resp["hits"])
