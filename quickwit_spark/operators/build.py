@@ -643,14 +643,16 @@ def _execute_build(
     docmap = docmap.drop(*[f"toks_{fc.name}" for fc in config.indexed_fields])
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     docmap_out = docmap.drop(*tag_aliases)
-    if id_mode == "window":
-        # hash-window path: co-locate each split before the write
-        docmap_out = docmap_out.repartition("split_id").sortWithinPartitions(
-            "doc_id"
-        )
-    # twophase path: already range-partitioned by (split_id, key) and
-    # sorted — every task writes a doc-id-ordered slice of ≤2 splits,
-    # keeping the write at full parallelism
+    # No repartition before the write in EITHER id mode: the cached
+    # ``docs`` plan is already physically clustered for it. Window
+    # path: the window's own exchange hash-partitions by split_id and
+    # sorts by (split_id, key) — every partition holds whole splits
+    # with doc_id ascending, exactly what an explicit
+    # ``repartition("split_id")`` would rebuild; shuffling the raw
+    # doc-store rows (the widest data in the job) a second time was
+    # pure waste. Twophase path: range-partitioned by (split_id, key)
+    # and sorted — every task writes a doc-id-ordered slice of ≤2
+    # splits at full parallelism.
     (
         docmap_out.write.partitionBy("split_id")
         .mode("overwrite")
