@@ -49,6 +49,35 @@ def extract_text_udf():
     return _EXTRACT_UDF
 
 
-def with_extracted_text(df, html_col: str = "html", out_col: str = "text"):
-    """Add/replace the text column from html (vectorized UDF)."""
+def extract_text_col(html_col):
+    """JVM-side extraction expression — same function as
+    :func:`extract_text`, expressed with built-in regex functions so
+    the build's extract stage stays inside whole-stage codegen (no
+    python workers, no Arrow round-trip of the raw html bytes).
+
+    Semantics match the Python reference for any VALID-UTF-8 html
+    (the input contract: ``html`` is the UTF-8 encoding of the page):
+    both engines see the same code points, the patterns are pure
+    ASCII, and the output re-encodes to identical bytes. (On invalid
+    UTF-8 the Python reference raises while the JVM decode would
+    substitute U+FFFD — that input violates the column contract.)
+    """
+    decoded = html_col.cast("string")
+    paras = F.regexp_extract_all(
+        decoded, F.lit(r"(?s)<p>(.*?)</p>"), F.lit(1)
+    )
+    cleaned = F.transform(paras, lambda p: F.regexp_replace(p, r"<[^>]+>", ""))
+    return F.array_join(cleaned, " ")
+
+
+def with_extracted_text(df, html_col: str = "html", out_col: str = "text",
+                        jvm: bool = True):
+    """Add/replace the text column from html.
+
+    ``jvm=True`` (default) uses the codegen regex expression;
+    ``jvm=False`` keeps the Arrow-batched python UDF (reference
+    implementation, and escape hatch for non-UTF-8 inputs where the
+    caller wants Python's strict decode to fail loudly)."""
+    if jvm:
+        return df.withColumn(out_col, extract_text_col(F.col(html_col)))
     return df.withColumn(out_col, extract_text_udf()(F.col(html_col)))
