@@ -44,7 +44,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from quickwit_spark.operators.analysis import tokenize_col
-from quickwit_spark.operators.fieldnorm import fieldnorm_to_id
+from quickwit_spark.operators.fieldnorm import fieldnorm_id_col
 from quickwit_spark.plans.config import IndexConfig, RECORD_POSITION
 from quickwit_spark.plans.metastore import Metastore, SplitMetadata
 
@@ -253,18 +253,6 @@ def _make_token_encoder(field_names: list[str], pos_fields: frozenset):
         )
 
     return encode
-
-
-def _norm_id_udf():
-    from pyspark.sql.pandas.functions import pandas_udf
-
-    def _norm(lens):
-        return pd.Series(
-            fieldnorm_to_id(lens.to_numpy(dtype=np.int64)).astype(np.int32)
-        )
-
-    _norm.__annotations__ = {"lens": pd.Series, "return": pd.Series}
-    return pandas_udf(_norm, "int")
 
 
 def write_fastfields(ms: Metastore, config: IndexConfig, docmap: DataFrame) -> None:
@@ -634,12 +622,13 @@ def _execute_build(
     docs.cache()
 
     # ---- docmap (doc store + fast fields + fieldnorms) ----
-    norm_udf = _norm_id_udf()
     docmap = docs
     for fc in config.indexed_fields:
         docmap = docmap.withColumn(
             f"len_{fc.name}", F.size(f"toks_{fc.name}")
-        ).withColumn(f"norm_{fc.name}", norm_udf(F.col(f"len_{fc.name}")))
+        ).withColumn(
+            f"norm_{fc.name}", fieldnorm_id_col(F.col(f"len_{fc.name}"))
+        )
     docmap = docmap.drop(*[f"toks_{fc.name}" for fc in config.indexed_fields])
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     docmap_out = docmap.drop(*tag_aliases)

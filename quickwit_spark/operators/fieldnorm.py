@@ -72,3 +72,30 @@ def fieldnorm_to_id(fieldnorm: np.ndarray | int) -> np.ndarray:
 def id_to_fieldnorm(norm_id: np.ndarray | int) -> np.ndarray:
     """Decode 1-byte ids back to (lossy) fieldnorms."""
     return FIELD_NORMS_TABLE[np.asarray(norm_id, dtype=np.int64)]
+
+
+def fieldnorm_id_col(len_col):
+    """JVM column expression equal to :func:`fieldnorm_to_id` —
+    keeps the docmap stage inside whole-stage codegen (no python
+    workers just to quantize a length byte).
+
+    Closed form of the floor-quantization: with ``v = L - 24``,
+
+    - ``L < 32`` → ``id = L`` (the 24 free values plus the int4
+      subnormals 0..7 all round-trip exactly);
+    - else ``shift = bitlen(v) - 4`` and
+      ``id = 24 + ((shift + 1) << 3) + ((v >> shift) & 7)`` — the
+      top-4-bits truncation IS the largest-table-entry-≤-L floor.
+
+    ``bitlen(v) = floor(log2(v)) + 1`` is exact in doubles for the
+    int range (< 2^53): log2 of an exact power of two is exact, and
+    anything else is strictly between integers.
+    """
+    from pyspark.sql import functions as F
+
+    L = len_col.cast("long")
+    v = L - F.lit(24)
+    shift = (F.floor(F.log2(v.cast("double"))) - F.lit(3)).cast("int")
+    bits = F.call_function("shiftright", v, shift).bitwiseAND(F.lit(7))
+    encoded = F.lit(24) + (shift + F.lit(1)) * F.lit(8) + bits
+    return F.when(L < 32, L).otherwise(encoded).cast("int")

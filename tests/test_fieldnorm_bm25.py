@@ -43,3 +43,30 @@ def test_score_monotonic_in_tf_and_len():
     s2 = bm25.score_tf(np.array([3, 3, 3]), ids, w, cache)
     assert (np.diff(s2) < 0).all()
     assert s.dtype == np.float32
+
+
+def test_jvm_fieldnorm_id_matches_numpy(spark):
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from quickwit_spark.operators.fieldnorm import fieldnorm_id_col
+
+    vals = np.unique(
+        np.concatenate(
+            [
+                np.arange(0, 5000),
+                2 ** np.arange(3, 31),
+                2 ** np.arange(3, 31) - 1,
+                2 ** np.arange(3, 31) + 1,
+                np.array([2**31 - 1]),
+            ]
+        )
+    ).astype(np.int64)
+    df = spark.createDataFrame(pd.DataFrame({"n": vals}))
+    got = (
+        df.select("n", fieldnorm_id_col(F.col("n")).alias("id"))
+        .orderBy("n")
+        .toPandas()
+    )
+    want = fieldnorm_to_id(vals)
+    assert (got["id"].to_numpy() == want.astype(np.int64)).all()
