@@ -128,3 +128,31 @@ def test_incremental_add_advances(spark, stream_index):
     )
     assert sum(m.num_docs for m in metas) == 20
     assert ms.checkpoint("stream")["position"] == new_pos
+
+
+def _kafka_available(spark) -> bool:
+    # py4j resolves missing classes lazily — probe via the class loader
+    try:
+        spark._jvm.java.lang.Class.forName(
+            "org.apache.spark.sql.kafka010.KafkaSourceProvider"
+        )
+        return True
+    except Exception:
+        return False
+
+
+def test_kafka_source_wiring(spark):
+    """KafkaSource adapter (availability-gated like the Iceberg one):
+    without the connector jar, plan construction must fail with the
+    standard missing-data-source error (not silently misbehave); with
+    it, the stream must expose Kafka's (key, value, topic, partition,
+    offset, ...) schema the downstream from_json parse relies on."""
+    from quickwit_spark.streaming.ingest import kafka_stream_source
+
+    if not _kafka_available(spark):
+        with pytest.raises(Exception, match="(?i)failed to find data source: kafka"):
+            kafka_stream_source(spark, "localhost:9092", "topic")
+        return
+    df = kafka_stream_source(spark, "localhost:9092", "topic")
+    cols = set(df.columns)
+    assert {"key", "value", "topic", "partition", "offset"} <= cols
