@@ -478,6 +478,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["ann_lsh_bucketed"] = ann_lsh
 
+    def ann_ivf(spark, sf_dir):
+        # IVF scale path: md5-sampled centroids (8 cells), probe the
+        # 2 nearest cells, exact cosine rerank inside them
+        e = _emb(spark, sf_dir)
+        qvec = e.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+        corpus = e.filter(F.col("vec_id") != 0)
+        cents = similarity.ivf_centroids(corpus, n_cells=8, seed=42)
+        return similarity.ivf_ann(
+            corpus, qvec, cents, k=10, nprobe=2
+        ).withColumnRenamed("key", "vec_id")
+
+    q["ann_ivf"] = ann_ivf
+
     def emb_near_dup(spark, sf_dir):
         # banded RP-LSH candidates → exact cosine ≥ 0.35 (the
         # synthetic embeddings have no true near-dups — max pairwise
@@ -988,6 +1001,69 @@ pairs AS (
        UNNEST(generate_series(1, 64)) AS i(i)
   WHERE e.vec_id IN (SELECT vec_id FROM cand)
   GROUP BY e.vec_id
+)
+SELECT vec_id, round(dot / (na * nb), 6) AS cosine
+FROM pairs ORDER BY cosine DESC, vec_id ASC LIMIT 10
+"""
+
+    # ann_ivf: md5-sampled centroids are recomputable in SQL, so the
+    # oracle reproduces the WHOLE path (centroid selection →
+    # assignment → probe → rerank) with no side-channel artifact
+    o["ann_ivf"] = """
+WITH corpus AS (
+  SELECT vec_id, embedding FROM embeddings WHERE vec_id <> 0
+),
+cents AS (
+  SELECT vec_id AS ckey, embedding AS cvec, rn - 1 AS cell FROM (
+    SELECT vec_id, embedding,
+           row_number() OVER (
+             ORDER BY md5('42|' || CAST(vec_id AS VARCHAR)) ASC, vec_id ASC
+           ) AS rn
+    FROM corpus
+  ) WHERE rn <= 8
+),
+q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+vc AS (
+  SELECT v.vec_id, c.cell,
+         sum(CAST(v.embedding[i.i] AS DOUBLE) * CAST(c.cvec[i.i] AS DOUBLE)) AS dot,
+         sqrt(sum(CAST(v.embedding[i.i] AS DOUBLE) * CAST(v.embedding[i.i] AS DOUBLE))) AS nv,
+         sqrt(sum(CAST(c.cvec[i.i] AS DOUBLE) * CAST(c.cvec[i.i] AS DOUBLE))) AS nc
+  FROM corpus v CROSS JOIN cents c,
+       UNNEST(generate_series(1, 64)) AS i(i)
+  GROUP BY v.vec_id, c.cell
+),
+assign AS (
+  SELECT vec_id, cell FROM (
+    SELECT vec_id, cell,
+           row_number() OVER (
+             PARTITION BY vec_id ORDER BY dot / (nv * nc) DESC, cell ASC
+           ) AS rn
+    FROM vc
+  ) WHERE rn = 1
+),
+qc AS (
+  SELECT c.cell,
+         sum(CAST(q.qv[i.i] AS DOUBLE) * CAST(c.cvec[i.i] AS DOUBLE)) AS dot,
+         sqrt(sum(CAST(q.qv[i.i] AS DOUBLE) * CAST(q.qv[i.i] AS DOUBLE))) AS nq,
+         sqrt(sum(CAST(c.cvec[i.i] AS DOUBLE) * CAST(c.cvec[i.i] AS DOUBLE))) AS nc
+  FROM q CROSS JOIN cents c,
+       UNNEST(generate_series(1, 64)) AS i(i)
+  GROUP BY c.cell
+),
+probe AS (
+  SELECT cell FROM qc ORDER BY dot / (nq * nc) DESC, cell ASC LIMIT 2
+),
+pairs AS (
+  SELECT v.vec_id,
+         sum(CAST(v.embedding[i.i] AS DOUBLE) * CAST(q.qv[i.i] AS DOUBLE)) AS dot,
+         sqrt(sum(CAST(v.embedding[i.i] AS DOUBLE) * CAST(v.embedding[i.i] AS DOUBLE))) AS na,
+         sqrt(sum(CAST(q.qv[i.i] AS DOUBLE) * CAST(q.qv[i.i] AS DOUBLE))) AS nb
+  FROM corpus v CROSS JOIN q,
+       UNNEST(generate_series(1, 64)) AS i(i)
+  WHERE v.vec_id IN (
+    SELECT vec_id FROM assign WHERE cell IN (SELECT cell FROM probe)
+  )
+  GROUP BY v.vec_id
 )
 SELECT vec_id, round(dot / (na * nb), 6) AS cosine
 FROM pairs ORDER BY cosine DESC, vec_id ASC LIMIT 10

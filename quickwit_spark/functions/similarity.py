@@ -322,3 +322,123 @@ def rp_lsh_ann(
         .orderBy(F.col("cosine").desc(), F.col("key").asc())
         .limit(k)
     )
+
+
+# ---------------------------------------------------------------------
+# IVF (inverted-file) ANN — the centroid-bucketed scale path
+# ---------------------------------------------------------------------
+
+
+def ivf_centroids(
+    df: DataFrame,
+    n_cells: int,
+    vec_col: str = "embedding",
+    key_col: str = "vec_id",
+    seed: int = 42,
+) -> np.ndarray:
+    """Deterministic sampled coarse quantizer: the ``n_cells`` corpus
+    vectors with the smallest ``md5('<seed>|<key>')`` digest become
+    the cell centroids, cell id = rank in that ordering (a
+    TakeOrdered over the scan — no training iterations, no
+    driver-side corpus pass). Sampling-based quantizers are the
+    standard cheap IVF bootstrap; a Lloyd refinement could replace
+    this function without touching assignment/query, but would make
+    the centroids float-summation-order dependent — sampled centroids
+    are bit-reproducible from (data, seed), and md5 is computable by
+    any external SQL oracle, which is what lets DuckDB verify the
+    whole query path with no side-channel artifact."""
+    h = F.md5(
+        F.concat(F.lit(f"{seed}|"), F.col(key_col).cast("string"))
+    )
+    rows = (
+        df.select(
+            F.col(key_col).alias("k"), F.col(vec_col).alias("v"), h.alias("h")
+        )
+        .orderBy("h", "k")
+        .limit(n_cells)
+        .collect()
+    )
+    return np.array([list(r["v"]) for r in rows], dtype=np.float64)
+
+
+def _cell_assignment_col(centroids: np.ndarray, vec_col: str) -> Column:
+    """argmax-cosine cell id as a pure column expression: one
+    sequential-fold dot per centroid (bit-reproducible, same fold the
+    SQL oracle does), argmax via max-of-structs with ascending-cell
+    tie-break. Expression size grows with n_cells — right for the
+    coarse quantizers this targets (≤ a few hundred cells per level;
+    at billion-vector scale swap the fold for an Arrow matmul batch
+    UDF, the plan shape — broadcast centroids, shuffle-free scan —
+    stays the same)."""
+    scored = []
+    for cid in range(centroids.shape[0]):
+        c = F.array(*[F.lit(float(x)) for x in centroids[cid]])
+        cos = cosine_col(F.col(vec_col), c)
+        scored.append(F.struct(cos.alias("cos"), F.lit(-cid).alias("negcell")))
+    best = F.array_max(F.array(*scored))
+    return (-best["negcell"]).cast("int")
+
+
+def ivf_assign(
+    df: DataFrame,
+    centroids: np.ndarray,
+    vec_col: str = "embedding",
+    key_col: str = "vec_id",
+) -> DataFrame:
+    """(key, cell): each vector's nearest centroid by cosine
+    (ties → lowest cell id). Shuffle-free single scan."""
+    return df.select(
+        F.col(key_col).alias("key"),
+        _cell_assignment_col(centroids, vec_col).alias("cell"),
+    )
+
+
+def ivf_probe_cells(
+    query_vec: list[float], centroids: np.ndarray, nprobe: int
+) -> list[int]:
+    """The ``nprobe`` cells whose centroids are most cosine-similar
+    to the query (sequential float64 fold, ties → lowest cell id)."""
+    q = [float(x) for x in query_vec]
+    qn = 0.0
+    for x in q:
+        qn += x * x
+    qn = qn**0.5
+    sims = []
+    for cid in range(centroids.shape[0]):
+        dot, cn = 0.0, 0.0
+        for a, b in zip(centroids[cid], q):
+            dot += float(a) * b
+            cn += float(a) * float(a)
+        sims.append((-(dot / (cn**0.5 * qn)), cid))
+    sims.sort()
+    return sorted(cid for _, cid in sims[: max(1, nprobe)])
+
+
+def ivf_ann(
+    df: DataFrame,
+    query_vec: list[float],
+    centroids: np.ndarray,
+    k: int = 10,
+    nprobe: int = 2,
+    vec_col: str = "embedding",
+    key_col: str = "vec_id",
+) -> DataFrame:
+    """Approximate top-k: exact cosine restricted to the vectors
+    whose IVF cell is among the query's ``nprobe`` nearest cells.
+    Scale shape: assignment is a shuffle-free scan (at ingest time it
+    would be precomputed and stored as a partition column, making the
+    probe a partition-pruned scan); rerank touches only the probed
+    cells' rows."""
+    probe = ivf_probe_cells(query_vec, centroids, nprobe)
+    assigned = df.withColumn(
+        "__cell", _cell_assignment_col(centroids, vec_col)
+    ).filter(F.col("__cell").isin(probe))
+    qc = F.array(*[F.lit(float(x)) for x in query_vec])
+    return (
+        assigned.select(
+            F.col(key_col).alias("key"),
+            F.round(cosine_col(F.col(vec_col), qc), 6).alias("cosine"),
+        )
+        .orderBy(F.col("cosine").desc(), F.col("key").asc())
+        .limit(k)
+    )

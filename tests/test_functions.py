@@ -298,3 +298,53 @@ def test_connected_components_unconverged_raises(spark):
     )
     with pytest.raises(RuntimeError, match="converge"):
         connected_components(edges, max_iter=1)
+
+
+def test_ivf_ann(spark):
+    from quickwit_spark.functions.similarity import (
+        ivf_ann,
+        ivf_assign,
+        ivf_centroids,
+        ivf_probe_cells,
+    )
+
+    rng = np.random.default_rng(11)
+    vecs = pd.DataFrame(
+        {
+            "vec_id": range(80),
+            "embedding": [rng.standard_normal(8).tolist() for _ in range(80)],
+        }
+    )
+    df = spark.createDataFrame(vecs).withColumn(
+        "embedding", F.col("embedding").cast("array<float>")
+    )
+    cents = ivf_centroids(df, n_cells=4, seed=42)
+    assert cents.shape == (4, 8)
+    # determinism: same data + seed → identical centroids
+    assert np.array_equal(cents, ivf_centroids(df, n_cells=4, seed=42))
+
+    # assignment agrees with numpy argmax-cosine (lowest cell on ties)
+    assigned = {r["key"]: r["cell"] for r in ivf_assign(df, cents).collect()}
+    emb32 = {
+        int(r["vec_id"]): np.array(r["embedding"], dtype=np.float32)
+        for r in df.collect()
+    }
+    cn = np.linalg.norm(cents, axis=1)
+    for vid, v in emb32.items():
+        v64 = v.astype(np.float64)
+        sims = (cents @ v64) / (cn * np.linalg.norm(v64))
+        assert assigned[vid] == int(np.argmax(sims)), vid
+
+    # probed exact rerank: results are exactly the top-k of the
+    # probed cells' members (oracle parity is checked by the gate)
+    qvec = [float(x) for x in emb32[0]]
+    probe = set(ivf_probe_cells(qvec, cents, nprobe=2))
+    assert len(probe) == 2
+    got = ivf_ann(df, qvec, cents, k=5, nprobe=2).collect()
+    members = {vid for vid, c in assigned.items() if c in probe}
+    assert {r["key"] for r in got} <= members
+    # scores descend and the query's own vector ranks first if probed
+    scores = [r["cosine"] for r in got]
+    assert scores == sorted(scores, reverse=True)
+    if 0 in members:
+        assert got[0]["key"] == 0
