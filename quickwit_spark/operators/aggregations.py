@@ -9,7 +9,8 @@ metric aggs ``avg`` and ``stats`` (+ min/max/sum/value_count as
 stats components). Same surface here, executed Spark-first:
 
     matching docs (operators/search.matches_df — no top-k)
-      ⋈ docmap fast-field columns (broadcast the match keys)
+      ⋈ docmap fast-field columns (shuffle join — the match set is
+        unbounded, never broadcast; fetch_docs bounded=False)
       → groupBy(bucket expr: when-chains / floor(col/interval))
       → agg(count, avg, min, max, sum)
 
