@@ -99,7 +99,12 @@ def run_worker(cores: int, docs: int, runs: int = 2) -> None:
         # task graph across levels either way).
         extra_conf={"spark.sql.files.maxPartitionBytes": str(32 * 1024 * 1024)},
     )
-    pages = with_extracted_text(spark.read.parquet(CORPUS_PATH))
+    # QWS_EXTRACT_PY=1 → python-UDF extraction arm (A/B attribution
+    # of extract-stage regressions; default = the engine's JVM path)
+    pages = with_extracted_text(
+        spark.read.parquet(CORPUS_PATH),
+        jvm=not os.environ.get("QWS_EXTRACT_PY"),
+    )
 
     # warmup: JIT + python-worker startup (amortized at real scale)
     idx = tempfile.mkdtemp(prefix=f"qws_warm_{cores}_")
