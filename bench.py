@@ -44,7 +44,7 @@ SEARCHES = {
 }
 
 
-def p50(fn, runs: int = 3) -> float:
+def p50(fn, runs: int = 5) -> float:
     times = []
     for _ in range(runs):
         t0 = time.time()
@@ -82,6 +82,12 @@ def main() -> None:
         queries["index_build"] = round(build_secs, 3)
 
         # ---- BM25 top-10 latency p50 ----
+        # one untimed warmup: searcher cache (file listing + footer
+        # schema) + JVM/py-worker JIT are per-index costs, not
+        # per-query latency
+        search_df(
+            spark, index_dir, SearchRequest(query="word", k=10)
+        ).collect()
         for name, qstr in SEARCHES.items():
             req = SearchRequest(query=qstr, k=10)
             queries[name] = round(
