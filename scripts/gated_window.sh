@@ -1,10 +1,24 @@
 #!/bin/bash
-# Wait until the host serves fresh pages at a healthy rate (3
-# consecutive probes > 300 MB/s fault-in), then run one interleaved
-# scaling window. Leaves its verdicts in /tmp/gated_window.log.
+# Wait until (a) the host serves fresh pages at a healthy rate (3
+# consecutive probes > 300 MB/s fault-in) AND (b) no other JVM /
+# pytest is running (in-VM contention doesn't show in steal%, see
+# BENCH.md), then run one interleaved scaling window. Leaves its
+# verdicts in /tmp/gated_window.log.
+#
+# Args: [reps] [docs]   (default 3 reps of 1M docs ≈ 25 min healthy)
 cd /root/repo
+REPS=${1:-3}
+DOCS=${2:-1000000}
 ok=0
 while [ "$ok" -lt 3 ]; do
+  # quiescence: any running java (other Spark session) or pytest
+  # resets the streak — their CPU pollutes a window invisibly
+  if pgrep -f 'java|pytest' > /dev/null 2>&1; then
+    echo "$(date +%H:%M:%S) busy (java/pytest running) ok=0"
+    ok=0
+    sleep 60
+    continue
+  fi
   rate=$(python - <<'EOF'
 import time
 import numpy as np
@@ -18,6 +32,6 @@ EOF
   if [ "$rate" -gt 300 ]; then ok=$((ok + 1)); else ok=0; fi
   sleep 90
 done
-echo "$(date +%H:%M:%S) healthy — launching window"
+echo "$(date +%H:%M:%S) healthy + quiet — launching window"
 QWS_SKIP_QUERIES=1 python scripts/scaling_bench.py \
-  --levels 2,8 --docs 1000000 --reps 5 --runs 1
+  --levels 2,8 --docs "$DOCS" --reps "$REPS" --runs 1
