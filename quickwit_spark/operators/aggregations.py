@@ -183,6 +183,8 @@ def search_stream(
     optionally with a partition column (PartionnedFastFieldCollector
     analogue)."""
     matches = matches_df(spark, index_dir, req)
-    cols = [fast_field] + ([partition_by_field] if partition_by_field else [])
+    cols = [fast_field]
+    if partition_by_field and partition_by_field != fast_field:
+        cols.append(partition_by_field)
     docs = fetch_docs(spark, index_dir, matches, columns=cols, bounded=False)
     return docs.select(*cols)

@@ -18,6 +18,18 @@ Parity targets:
 - routes ``GET/POST /api/v1/<index_id>/search``
   (rest_handler.rs:155-167); POST takes the same fields as a JSON
   body.
+- route ``GET /api/v1/<index_id>/search/stream``
+  (rest_handler.rs:202-321): query-string schema
+  `SearchStreamRequestQueryString` (camelCase ``query``,
+  ``searchField``, ``startTimestamp``/``endTimestamp``, required
+  non-empty ``fastField``, ``outputFormat`` ∈ {csv,
+  clickHouseRowBinary}, ``partitionByField``), exporting the fast
+  field of EVERY matching doc as ``text/csv`` (one value per line,
+  search_stream/mod.rs:71-78) or ClickHouse RowBinary
+  (``application/octet-stream``, little-endian 8-byte values,
+  mod.rs:84-90; partitioned layout = partition value + byte size +
+  values, mod.rs:55-66). ``partitionByField`` requires the binary
+  format (leaf.rs:141-144).
 
 The server maps ``index_id`` to ``<root_dir>/<index_id>``. It is a
 thin driver-side adapter: every request plans/prunes on the driver
@@ -119,6 +131,133 @@ def parse_search_params(params: dict) -> dict:
     return out
 
 
+_STREAM_PARAMS = frozenset(
+    {
+        "query",
+        "searchField",
+        "startTimestamp",
+        "endTimestamp",
+        "fastField",
+        "outputFormat",
+        "partitionByField",
+    }
+)
+
+
+def parse_stream_params(params: dict) -> dict:
+    """Validate `SearchStreamRequestQueryString` params
+    (rest_handler.rs:210-235, deny_unknown_fields)."""
+    unknown = set(params) - _STREAM_PARAMS
+    if unknown:
+        raise BadRequest(f"unknown parameters: {sorted(unknown)}")
+    query = params.get("query", "")
+    if not isinstance(query, str) or not query:
+        raise BadRequest("Expected a non empty string field.")
+    out: dict = {"query": query}
+    if "searchField" in params:
+        fields = [
+            f for f in str(params["searchField"]).strip(",").split(",") if f
+        ]
+        out["search_fields"] = tuple(fields) or None
+    for pname, ours in (
+        ("startTimestamp", "start_ts"),
+        ("endTimestamp", "end_ts"),
+    ):
+        if pname in params:
+            secs = int(params[pname])
+            out[ours] = _dt.datetime(1970, 1, 1) + _dt.timedelta(seconds=secs)
+    fast_field = str(params.get("fastField", "")).strip()
+    if not fast_field:  # deserialize_not_empty_string parity
+        raise BadRequest("Expected a non empty string field.")
+    out["_fast_field"] = fast_field
+    fmt = str(params.get("outputFormat", "csv"))
+    if fmt not in ("csv", "clickHouseRowBinary"):
+        raise BadRequest(f"unknown output format: {fmt}")
+    out["_output_format"] = fmt
+    part = params.get("partitionByField")
+    if part is not None:
+        # reference restriction: partitioned export is RowBinary-only
+        # (search_stream/leaf.rs:141-144)
+        if fmt != "clickHouseRowBinary":
+            raise BadRequest(
+                "Invalid output format specified, only ClickHouseRowBinary "
+                "is allowed when providing a partitioned-by field."
+            )
+        out["_partition_by"] = str(part)
+    return out
+
+
+def _le_bytes(arr) -> bytes:
+    """Numeric numpy array → little-endian 8-byte stream
+    (search_stream/mod.rs:84-90 `as_u64().to_le_bytes()`)."""
+    import numpy as np
+
+    if arr.dtype.kind == "f":
+        return arr.astype("<f8").tobytes()
+    return arr.astype("<i8").tobytes()
+
+
+def search_stream_endpoint(
+    spark: SparkSession, index_dir: str, params: dict
+) -> tuple[bytes, str]:
+    """`search_stream_endpoint` analogue (rest_handler.rs:237-285):
+    export the fast-field value of every matching doc. Returns
+    ``(body, content_type)``.
+
+    Serialization is vectorized end-to-end: executors compute the
+    match set (the same pruned per-split plan as the engine's
+    search_stream), the driver receives Arrow batches and the byte
+    stream is numpy — no per-row Python. Timestamp fast fields export
+    as epoch micros (the engine's ts fast-field representation)."""
+    from pyspark.sql import functions as F
+
+    from quickwit_spark.operators.aggregations import search_stream
+
+    kwargs = parse_stream_params(params)
+    fast_field = kwargs.pop("_fast_field")
+    fmt = kwargs.pop("_output_format")
+    part_field = kwargs.pop("_partition_by", None)
+    req = SearchRequest(**kwargs)
+    df = search_stream(spark, index_dir, req, fast_field, part_field)
+    # timestamps → exact epoch micros, JVM-side
+    for name, dtype in df.dtypes:
+        if dtype.startswith("timestamp"):
+            df = df.withColumn(name, F.unix_micros(F.col(name)))
+    tbl = df.toArrow()
+    content_type = (
+        "application/octet-stream" if fmt == "clickHouseRowBinary" else "text/csv"
+    )
+    vals = tbl.column(fast_field)
+    if fmt == "csv":
+        # one value per line (serialize_csv, mod.rs:71-78)
+        body = "".join(f"{v}\n" for v in vals.to_pylist()).encode()
+        return body, content_type
+    arr = vals.combine_chunks().to_numpy(zero_copy_only=False)
+    if arr.dtype.kind not in "iuf":
+        raise BadRequest(
+            f"fast field {fast_field!r} is not numeric; ClickHouseRowBinary "
+            "requires a numeric fast field"
+        )
+    if part_field is None:
+        return _le_bytes(arr), content_type
+    import numpy as np
+
+    parts = tbl.column(part_field).combine_chunks().to_numpy(zero_copy_only=False)
+    if parts.dtype.kind not in "iu":
+        raise BadRequest(
+            f"partition field {part_field!r} is not an integer fast field"
+        )
+    # partitioned layout (mod.rs:55-66): for each partition value —
+    # value (8B LE) + values byte size (8B LE) + values (8B LE each)
+    chunks = []
+    for p in np.unique(parts):
+        pvals = arr[parts == p]
+        chunks.append(int(p).to_bytes(8, "little", signed=True))
+        chunks.append((pvals.size * 8).to_bytes(8, "little"))
+        chunks.append(_le_bytes(pvals))
+    return b"".join(chunks), content_type
+
+
 def search_endpoint(
     spark: SparkSession, index_dir: str, params: dict
 ) -> dict:
@@ -189,7 +328,13 @@ def _make_handler(spark: SparkSession, root_dir: str):
             parts = urlparse(self.path)
             segs = [s for s in parts.path.split("/") if s]
             if len(segs) == 4 and segs[:2] == ["api", "v1"] and segs[3] == "search":
-                return segs[2], parts.query
+                return segs[2], "search"
+            if (
+                len(segs) == 5
+                and segs[:2] == ["api", "v1"]
+                and segs[3:] == ["search", "stream"]
+            ):
+                return segs[2], "stream"
             return None
 
         def _respond(self, code: int, payload: dict, pretty: bool) -> None:
@@ -202,12 +347,19 @@ def _make_handler(spark: SparkSession, root_dir: str):
             self.end_headers()
             self.wfile.write(body)
 
+        def _respond_raw(self, body: bytes, content_type: str) -> None:
+            self.send_response(200)
+            self.send_header("content-type", content_type)
+            self.send_header("content-length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
         def _handle(self, params: dict) -> None:
             route = self._route()
             if route is None:
                 self._respond(404, {"error": "not found"}, False)
                 return
-            index_id, _ = route
+            index_id, kind = route
             index_dir = os.path.join(root_dir, index_id)
             if not os.path.isdir(index_dir):
                 self._respond(
@@ -218,7 +370,12 @@ def _make_handler(spark: SparkSession, root_dir: str):
                 "prettyjson", "pretty_json",
             )
             try:
-                resp = search_endpoint(spark, index_dir, params)
+                if kind == "stream":
+                    body, ctype = search_stream_endpoint(
+                        spark, index_dir, params
+                    )
+                else:
+                    resp = search_endpoint(spark, index_dir, params)
             except BadRequest as e:
                 self._respond(400, {"error": str(e)}, pretty)
                 return
@@ -232,7 +389,10 @@ def _make_handler(spark: SparkSession, root_dir: str):
                     500, {"error": f"{type(e).__name__}: {e}"}, pretty
                 )
                 return
-            self._respond(200, resp, pretty)
+            if kind == "stream":
+                self._respond_raw(body, ctype)
+            else:
+                self._respond(200, resp, pretty)
 
         def do_GET(self):
             parts = urlparse(self.path)

@@ -177,3 +177,104 @@ def test_sort_by_field_ranking(server):
     assert len(ts) == 8
     assert ts == sorted(ts, reverse=True)
     assert all("sort_long" not in h for h in resp["hits"])
+
+
+# ---- search/stream (rest_handler.rs:202-321) ----
+
+
+def _get_raw(port: int, path: str):
+    try:
+        with urllib.request.urlopen(f"http://127.0.0.1:{port}{path}") as r:
+            return r.status, r.read(), r.headers.get("content-type")
+    except urllib.error.HTTPError as e:
+        return e.code, e.read(), e.headers.get("content-type")
+
+
+def _oracle_ts_micros(oracle_index, corpus_rows, query):
+    import pandas as pd
+
+    by_url = {r["url"]: r["warc_ts"] for r in corpus_rows}
+    hits = oracle_index.search(query, k=10**6)
+    return sorted(
+        int(pd.Timestamp(by_url[oracle_index.doc_key(s, d)]).value // 1000)
+        for s, d, _ in hits
+    )
+
+
+def test_stream_csv_matches_oracle(server, oracle_index, corpus_rows):
+    port, index_id = server
+    status, body, ctype = _get_raw(
+        port, f"/api/v1/{index_id}/search/stream?query=word&fastField=warc_ts"
+    )
+    assert status == 200
+    assert ctype == "text/csv"
+    got = sorted(int(x) for x in body.decode().splitlines())
+    assert got == _oracle_ts_micros(oracle_index, corpus_rows, "word")
+
+
+def test_stream_rowbinary(server, oracle_index, corpus_rows):
+    import numpy as np
+
+    port, index_id = server
+    status, body, ctype = _get_raw(
+        port,
+        f"/api/v1/{index_id}/search/stream?query=word&fastField=warc_ts"
+        "&outputFormat=clickHouseRowBinary",
+    )
+    assert status == 200
+    assert ctype == "application/octet-stream"
+    assert len(body) % 8 == 0
+    got = sorted(np.frombuffer(body, dtype="<i8").tolist())
+    assert got == _oracle_ts_micros(oracle_index, corpus_rows, "word")
+
+
+def test_stream_partitioned_rowbinary(server, oracle_index, corpus_rows):
+    # partitioned layout (search_stream/mod.rs:55-66): per partition —
+    # value (8B LE) + byte size (8B LE) + values
+    import numpy as np
+
+    port, index_id = server
+    status, body, _ = _get_raw(
+        port,
+        f"/api/v1/{index_id}/search/stream?query=word&fastField=warc_ts"
+        "&outputFormat=clickHouseRowBinary&partitionByField=warc_ts",
+    )
+    assert status == 200
+    got, seen_parts = [], []
+    off = 0
+    while off < len(body):
+        pval = int.from_bytes(body[off : off + 8], "little", signed=True)
+        nbytes = int.from_bytes(body[off + 8 : off + 16], "little")
+        vals = np.frombuffer(body[off + 16 : off + 16 + nbytes], dtype="<i8")
+        # partitioning by the exported field itself: all values in a
+        # partition equal the partition value
+        assert all(v == pval for v in vals.tolist())
+        seen_parts.append(pval)
+        got.extend(vals.tolist())
+        off += 16 + nbytes
+    assert off == len(body)
+    assert seen_parts == sorted(set(seen_parts))
+    assert sorted(got) == _oracle_ts_micros(oracle_index, corpus_rows, "word")
+
+
+def test_stream_validation(server):
+    port, index_id = server
+    # missing fastField
+    status, body, _ = _get_raw(
+        port, f"/api/v1/{index_id}/search/stream?query=word"
+    )
+    assert status == 400
+    # partitionByField with csv output
+    status, body, _ = _get_raw(
+        port,
+        f"/api/v1/{index_id}/search/stream?query=word&fastField=warc_ts"
+        "&partitionByField=warc_ts",
+    )
+    assert status == 400
+    assert b"ClickHouseRowBinary" in body
+    # unknown parameter
+    status, body, _ = _get_raw(
+        port,
+        f"/api/v1/{index_id}/search/stream?query=word&fastField=warc_ts&bogus=1",
+    )
+    assert status == 400
