@@ -154,6 +154,14 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
 
 
+# deterministic-sampling demo mix (sample_stratified + its oracle
+# share these exact literals; thresholds are floor(rate·2^60) ints so
+# Spark and DuckDB compare identical int64s — no float rounding)
+_SAMPLE_RATES = {"en": 0.35, "de": 0.8, "zh": 1.0}
+_SAMPLE_SEED = "mix1"
+_SAMPLE_DEFAULT = 0.1
+
+
 def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
 
@@ -203,7 +211,7 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    from quickwit_spark.functions import dedup, similarity, textstats
+    from quickwit_spark.functions import dedup, sampling, similarity, textstats
     from quickwit_spark.functions.multimodal import decode_features, frame_sample
 
     q: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
@@ -506,6 +514,32 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     q["embedding_near_dup"] = emb_near_dup
+
+    # ---- deterministic sampling (training-data mixes) ----
+    def sample_stratified(spark, sf_dir):
+        # "35% of English, 80% of German, all Chinese, 10% of the
+        # rest" — keep/drop is a pure function of (seed, doc_id), no
+        # shuffle (functions/sampling.py)
+        return sampling.stratified_sample(
+            _docs(spark, sf_dir),
+            "lang",
+            _SAMPLE_RATES,
+            key_col="doc_id",
+            seed=_SAMPLE_SEED,
+            default_rate=_SAMPLE_DEFAULT,
+        ).select("doc_id", "lang")
+
+    q["sample_stratified"] = sample_stratified
+
+    def sample_topn(spark, sf_dir):
+        # 20 longest docs per language, doc_id tie-break; Catalyst's
+        # partial WindowGroupLimit bounds the per-stratum shuffle
+        return sampling.topn_per_stratum(
+            _docs(spark, sf_dir), "lang", 20, key_col="doc_id",
+            order_col="n_chars",
+        ).select("doc_id", "lang", F.col("n_chars").cast("long").alias("n_chars"))
+
+    q["sample_topn_per_lang"] = sample_topn
 
     # ---- multimodal plumbing (binary payloads, fake decode) ----
     def mm_decode(spark, sf_dir):
@@ -1110,6 +1144,30 @@ pairs AS (
 )
 SELECT key_a, key_b, round(dot / (na * nb), 6) AS cosine
 FROM pairs WHERE round(dot / (na * nb), 6) >= 0.35
+"""
+
+    # sampling: identical md5-derived 60-bit draw + integer-threshold
+    # literals on both engines (functions/sampling.py)
+    from quickwit_spark.functions.sampling import rate_thresholds
+
+    _thr, _dflt = rate_thresholds(_SAMPLE_RATES, _SAMPLE_DEFAULT)
+    _case = " ".join(
+        f"WHEN '{s}' THEN {t}" for s, t in sorted(_thr.items())
+    )
+    o["sample_stratified"] = f"""
+SELECT doc_id, lang FROM documents
+WHERE CAST(('0x' || substr(md5('{_SAMPLE_SEED}|' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+      < CASE lang {_case} ELSE {_dflt} END
+"""
+
+    o["sample_topn_per_lang"] = """
+SELECT doc_id, lang, n_chars FROM (
+  SELECT doc_id, lang, n_chars,
+         ROW_NUMBER() OVER (
+           PARTITION BY lang ORDER BY n_chars DESC, doc_id ASC
+         ) AS rn
+  FROM documents
+) WHERE rn <= 20
 """
 
     o["multimodal_decode_meta"] = """

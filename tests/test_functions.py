@@ -348,3 +348,105 @@ def test_ivf_ann(spark):
     assert scores == sorted(scores, reverse=True)
     if 0 in members:
         assert got[0]["key"] == 0
+
+
+def test_stratified_sample_deterministic_and_calibrated(spark):
+    from quickwit_spark.functions.sampling import stratified_sample
+
+    pdf = pd.DataFrame(
+        {
+            "doc_id": np.arange(4000),
+            "lang": np.tile(["en", "de", "fr", "zh"], 1000),
+        }
+    )
+    df = spark.createDataFrame(pdf)
+    rates = {"en": 0.3, "de": 0.9}
+    kept = stratified_sample(
+        df, "lang", rates, key_col="doc_id", seed="s1", default_rate=0.0
+    )
+    got = kept.groupBy("lang").count().collect()
+    by_lang = {r["lang"]: r["count"] for r in got}
+    # fr/zh fall to default_rate=0 → absent
+    assert set(by_lang) == {"en", "de"}
+    # Bernoulli(1000, p): ±5σ bounds
+    assert 230 <= by_lang["en"] <= 370
+    assert 850 <= by_lang["de"] <= 950
+    # determinism: same selection regardless of partitioning
+    ids1 = sorted(r["doc_id"] for r in kept.collect())
+    ids2 = sorted(
+        r["doc_id"]
+        for r in stratified_sample(
+            df.repartition(13), "lang", rates, key_col="doc_id", seed="s1"
+        ).collect()
+    )
+    assert ids1 == ids2
+    # a different seed selects a different set
+    ids3 = sorted(
+        r["doc_id"]
+        for r in stratified_sample(
+            df, "lang", rates, key_col="doc_id", seed="s2"
+        ).collect()
+    )
+    assert ids1 != ids3
+
+
+def test_stratified_sample_rate_validation(spark):
+    from quickwit_spark.functions.sampling import stratified_sample
+
+    df = spark.range(5).withColumn("lang", F.lit("en"))
+    with pytest.raises(ValueError, match="must be in"):
+        stratified_sample(df, "lang", {"en": 1.5}, key_col="id")
+
+
+def test_topn_per_stratum_order_and_plan(spark):
+    from quickwit_spark.functions.sampling import topn_per_stratum
+
+    rng = np.random.RandomState(7)
+    pdf = pd.DataFrame(
+        {
+            "doc_id": np.arange(3000),
+            "lang": np.tile(["en", "de", "fr"], 1000),
+            "n_chars": rng.randint(0, 10_000, 3000),
+        }
+    )
+    df = spark.createDataFrame(pdf).repartition(8)
+    out = topn_per_stratum(df, "lang", 10, key_col="doc_id", order_col="n_chars")
+    rows = out.collect()
+    assert len(rows) == 30
+    for lang in ("en", "de", "fr"):
+        sub = pdf[pdf.lang == lang].sort_values(
+            ["n_chars", "doc_id"], ascending=[False, True]
+        )
+        want = sub.head(10)["doc_id"].tolist()
+        got = sorted(
+            (r["doc_id"] for r in rows if r["lang"] == lang),
+            key=lambda d: want.index(d) if d in want else -1,
+        )
+        assert sorted(got) == sorted(want)
+    # skew guard: Catalyst must plan a map-side partial group limit
+    # BEFORE the stratum exchange (each task ships ≤ N rows/stratum)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan and "Partial" in plan
+
+
+def test_topn_per_stratum_hash_subsample(spark):
+    from quickwit_spark.functions.sampling import topn_per_stratum
+
+    pdf = pd.DataFrame(
+        {"doc_id": np.arange(500), "lang": np.tile(["en", "de"], 250)}
+    )
+    df = spark.createDataFrame(pdf)
+    a = sorted(
+        r["doc_id"]
+        for r in topn_per_stratum(df, "lang", 25, key_col="doc_id").collect()
+    )
+    b = sorted(
+        r["doc_id"]
+        for r in topn_per_stratum(
+            df.repartition(11), "lang", 25, key_col="doc_id"
+        ).collect()
+    )
+    assert a == b and len(a) == 50
+    assert "__rank_key" not in topn_per_stratum(
+        df, "lang", 25, key_col="doc_id"
+    ).columns
