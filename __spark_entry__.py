@@ -39,7 +39,9 @@ base AS (
 toks AS (
   SELECT doc_id, arr[i.i] AS term, i.i - 1 AS pos
   FROM base, UNNEST(generate_series(1, len(arr))) AS i(i)
-  WHERE arr[i.i] <> '' AND length(arr[i.i]) < 40
+  -- BYTE length limit (DuckDB strlen = UTF-8 bytes), matching the
+  -- engine's octet_length (analysis.py:49)
+  WHERE arr[i.i] <> '' AND strlen(arr[i.i]) < 40
 )
 """
 
@@ -602,7 +604,7 @@ ORDER BY df DESC, term ASC LIMIT 20
   SELECT b.doc_id, count(t.term) AS dl
   FROM base b LEFT JOIN toks t ON b.doc_id = t.doc_id GROUP BY b.doc_id
 )
-SELECT count(*) AS num_docs, sum(dl) AS total_tokens,
+SELECT count(*) AS num_docs, CAST(sum(dl) AS BIGINT) AS total_tokens,
        CAST((1000000 * sum(dl)) // count(*) AS BIGINT) AS avgdl_micros
 FROM doclen
 """

@@ -63,3 +63,44 @@ def test_stem_udf_matches_python(spark):
     ]
     want = [tokenize(s, "stem_en") for s in SAMPLES]
     assert got == want
+
+
+def test_duckdb_oracle_cte_tokenizer_parity(corpus_rows):
+    """The driver-oracle tokenization CTE (__spark_entry__._TOKS_CTE)
+    must agree with the engine tokenizer on a corpus containing a
+    multibyte token that is >= 40 BYTES but < 40 CHARS (20x'é'):
+    both sides drop it on octet length (tantivy RemoveLongFilter
+    counts UTF-8 bytes, tokenizer/mod.rs)."""
+    import duckdb
+    import pandas as pd
+
+    import __spark_entry__ as se
+
+    docs = pd.DataFrame(
+        {
+            "doc_id": [r["url"] for r in corpus_rows],
+            "text": [r["text"] for r in corpus_rows],
+        }
+    )
+    assert any("é" * 20 in t for t in docs["text"]), "fixture lost the multibyte doc"
+    con = duckdb.connect()
+    con.register("documents", docs)
+    sql = se._with(se._TOKS_CTE) + """
+SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term
+ORDER BY doc_id, term
+"""
+    got = con.execute(sql).fetchall()
+
+    from collections import Counter
+
+    from quickwit_spark.operators.analysis import tokenize
+
+    want = []
+    for r in corpus_rows:
+        c = Counter(tokenize(r["text"], "default"))
+        for term in sorted(c):
+            want.append((r["url"], term, c[term]))
+    want.sort()
+    assert got == want
+    kept = {t for (_, t, _) in got if t.startswith("é")}
+    assert "é" * 19 in kept and "é" * 20 not in kept
