@@ -22,7 +22,7 @@ expressing it as ``row_number() ≤ N`` lets Catalyst insert a
 **partial WindowGroupLimit before the exchange** (Spark ≥3.5): each
 map task pre-prunes to its local top-N under the same ordering, so a
 mega-stratum ships ``N × input_partitions`` rows, not its full mass
-(asserted in tests/test_plans.py).
+(asserted in tests/test_functions.py::test_topn_per_stratum_order_and_plan).
 
 The uniform draw uses the first 15 hex chars of md5 (60 bits — exact
 in an int64 and in DuckDB's BIGINT), compared against integer

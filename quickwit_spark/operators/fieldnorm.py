@@ -98,4 +98,7 @@ def fieldnorm_id_col(len_col):
     shift = (F.floor(F.log2(v.cast("double"))) - F.lit(3)).cast("int")
     bits = F.call_function("shiftright", v, shift).bitwiseAND(F.lit(7))
     encoded = F.lit(24) + (shift + F.lit(1)) * F.lit(8) + bits
+    # clamp: lengths >= 2^31+24 would encode past the 256-entry table
+    # (fieldnorm_to_id saturates at id 255; mirror that here)
+    encoded = F.least(encoded, F.lit(255))
     return F.when(L < 32, L).otherwise(encoded).cast("int")

@@ -443,6 +443,11 @@ def search(
     req = SearchRequest(query=query, k=k, **kwargs)
     hits = search_df(spark, index_dir, req)
     out = fetch_docs(spark, index_dir, hits)
-    asc = req.sort_asc and req.sort_field is not None
-    score_order = F.col("score").asc() if asc else F.col("score").desc()
-    return out.orderBy(score_order, F.col("split_id").asc(), F.col("doc_id").asc())
+    # rank on the exact int64 fast-field lane when sorting by a fast
+    # field — the float64 `score` copy loses precision above 2^53 and
+    # could disagree with the engine ranking search_df just computed
+    if req.sort_field is not None:
+        rank = F.col("sort_long").asc() if req.sort_asc else F.col("sort_long").desc()
+    else:
+        rank = F.col("score").desc()
+    return out.orderBy(rank, F.col("split_id").asc(), F.col("doc_id").asc())

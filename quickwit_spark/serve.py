@@ -175,6 +175,10 @@ def parse_stream_params(params: dict) -> dict:
         raise BadRequest(f"unknown output format: {fmt}")
     out["_output_format"] = fmt
     part = params.get("partitionByField")
+    if part is not None and not str(part).strip():
+        # keep_blank_values query parsing yields '' — reject up front
+        # instead of failing deep in the Spark plan as a 500
+        raise BadRequest("Expected a non empty string field.")
     if part is not None:
         # reference restriction: partitioned export is RowBinary-only
         # (search_stream/leaf.rs:141-144)
@@ -228,15 +232,24 @@ def search_stream_endpoint(
         "application/octet-stream" if fmt == "clickHouseRowBinary" else "text/csv"
     )
     vals = tbl.column(fast_field)
+    if vals.null_count:
+        # a null would silently upcast the numpy view to float64 (f8
+        # bytes where the ClickHouse consumer expects i8) and the CSV
+        # path would emit literal 'None' lines — refuse instead
+        raise BadRequest(
+            f"fast field {fast_field!r} has {vals.null_count} null values; "
+            "search_stream requires a fully-populated fast field"
+        )
     if fmt == "csv":
         # one value per line (serialize_csv, mod.rs:71-78)
         body = "".join(f"{v}\n" for v in vals.to_pylist()).encode()
         return body, content_type
     arr = vals.combine_chunks().to_numpy(zero_copy_only=False)
-    if arr.dtype.kind not in "iuf":
+    if arr.dtype.kind not in "iu":
+        # leaf.rs only streams i64/u64 fast fields — never floats
         raise BadRequest(
-            f"fast field {fast_field!r} is not numeric; ClickHouseRowBinary "
-            "requires a numeric fast field"
+            f"fast field {fast_field!r} is not an integer fast field; "
+            "ClickHouseRowBinary requires i64/u64"
         )
     if part_field is None:
         return _le_bytes(arr), content_type

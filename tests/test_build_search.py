@@ -286,3 +286,36 @@ def test_fastfield_bigint_nulls_pack_exact(spark, tmp_path_factory):
         SearchRequest(query="common", k=3, sort_field="v", sort_asc=True),
     )
     assert [int(r["sort_long"]) for r in hits.collect()] == [0, big, big + 2]
+
+
+def test_search_wrapper_orders_on_exact_int_lane(spark, tmp_path_factory):
+    """The search() convenience wrapper must rank fetched hits on the
+    exact int64 sort_long, not the float64 score copy: 2^53 and
+    2^53+1 collide in float64, so the float tie-break (doc_id asc)
+    would return the wrong ascending order."""
+    from quickwit_spark.operators.build import build_index
+    from quickwit_spark.operators.search import SearchRequest, search, search_df
+    from quickwit_spark.plans.config import FieldConfig, IndexConfig
+
+    big = 1 << 53
+    index_dir = str(tmp_path_factory.mktemp("ffexact") / "idx")
+    cfg = IndexConfig(
+        fields=(FieldConfig("text", tokenizer="default"),),
+        key_field="k",
+        default_search_fields=("text",),
+        fast_fields=("v",),
+    )
+    df = spark.createDataFrame(
+        [("a", "common one", big + 1), ("b", "common two", big)],
+        "k string, text string, v long",
+    )
+    build_index(spark, df, index_dir, cfg, num_splits=1)
+    engine = search_df(
+        spark, index_dir, SearchRequest(query="common", k=2, sort_field="v", sort_asc=True)
+    ).collect()
+    assert [int(r["sort_long"]) for r in engine] == [big, big + 1]
+    got = search(
+        spark, index_dir, "common", k=2, sort_field="v", sort_asc=True
+    ).collect()
+    assert [int(r["sort_long"]) for r in got] == [big, big + 1]
+    assert [r["key"] for r in got] == ["b", "a"]

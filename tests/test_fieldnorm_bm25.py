@@ -55,10 +55,12 @@ def test_jvm_fieldnorm_id_matches_numpy(spark):
         np.concatenate(
             [
                 np.arange(0, 5000),
-                2 ** np.arange(3, 31),
-                2 ** np.arange(3, 31) - 1,
-                2 ** np.arange(3, 31) + 1,
-                np.array([2**31 - 1]),
+                2 ** np.arange(3, 41),
+                2 ** np.arange(3, 41) - 1,
+                2 ** np.arange(3, 41) + 1,
+                # past id 255: the JVM expression must saturate like
+                # fieldnorm_to_id (table floor), not run off the table
+                np.array([2**31 - 1, 2**31 + 24, 2**35 + 24, 2**52]),
             ]
         )
     ).astype(np.int64)

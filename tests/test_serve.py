@@ -278,3 +278,57 @@ def test_stream_validation(server):
         f"/api/v1/{index_id}/search/stream?query=word&fastField=warc_ts&bogus=1",
     )
     assert status == 400
+
+
+def test_stream_empty_partition_by_field_is_400(server):
+    port, index_id = server
+    # parse_qs(keep_blank_values) yields '' — must be a 400, not a
+    # deep Spark-plan 500
+    status, body, _ = _get_raw(
+        port,
+        f"/api/v1/{index_id}/search/stream?query=word&fastField=warc_ts"
+        "&outputFormat=clickHouseRowBinary&partitionByField=",
+    )
+    assert status == 400
+    assert b"non empty" in body
+
+
+def test_stream_null_and_float_fast_fields_rejected(spark, tmp_path_factory):
+    """Nulls would upcast the numpy view to float64 (wrong RowBinary
+    bytes / literal 'None' CSV lines); floats are never streamable in
+    the reference (leaf.rs i64/u64 only). Both must 400."""
+    from quickwit_spark.operators.build import build_index
+    from quickwit_spark.plans.config import FieldConfig, IndexConfig
+    from quickwit_spark.serve import BadRequest, search_stream_endpoint
+
+    index_dir = str(tmp_path_factory.mktemp("streamnull") / "idx")
+    cfg = IndexConfig(
+        fields=(FieldConfig("text", tokenizer="default"),),
+        key_field="k",
+        default_search_fields=("text",),
+        fast_fields=("v", "f"),
+    )
+    df = spark.createDataFrame(
+        [("a", "common one", 1, 1.5), ("b", "common two", None, 2.5)],
+        "k string, text string, v long, f double",
+    )
+    build_index(spark, df, index_dir, cfg, num_splits=1)
+    with pytest.raises(BadRequest, match="null"):
+        search_stream_endpoint(
+            spark, index_dir, {"query": "common", "fastField": "v"}
+        )
+    with pytest.raises(BadRequest, match="i64/u64"):
+        search_stream_endpoint(
+            spark,
+            index_dir,
+            {
+                "query": "common",
+                "fastField": "f",
+                "outputFormat": "clickHouseRowBinary",
+            },
+        )
+    # float fast field over CSV stays allowed (superset, text-safe)
+    body, ctype = search_stream_endpoint(
+        spark, index_dir, {"query": "one", "fastField": "f"}
+    )
+    assert body == b"1.5\n" and ctype == "text/csv"
