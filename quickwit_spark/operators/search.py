@@ -126,6 +126,51 @@ def _split_infos(splits, config, start_micros, end_micros):
     }
 
 
+#: above this many contiguous id runs, a literal predicate stops
+#: paying for itself — switch to a broadcast semi-join (runtime
+#: partition pruning instead of a 10^5-literal In-list in the plan)
+_MAX_SPLIT_ID_RUNS = 64
+
+
+def _split_id_runs(split_ids) -> list[tuple[int, int]]:
+    """Sorted unique ids → maximal contiguous [lo, hi] runs."""
+    a = np.unique(np.asarray(list(split_ids), dtype=np.int64))
+    if a.size == 0:
+        return []
+    breaks = np.flatnonzero(np.diff(a) > 1)
+    starts = np.concatenate(([0], breaks + 1))
+    ends = np.concatenate((breaks, [a.size - 1]))
+    return [(int(a[s]), int(a[e])) for s, e in zip(starts, ends)]
+
+
+def filter_split_ids(df: DataFrame, split_ids) -> DataFrame:
+    """Restrict a split-partitioned scan to the pruned id set in a
+    form that survives web scale (a hot query can keep 10^4-10^5 of
+    ~10^5 splits after pruning):
+
+    - split ids are dense ints, so the set compresses to a handful of
+      contiguous runs → OR of BETWEEN range predicates, constant plan
+      size, statically partition-prunable;
+    - a genuinely fragmented large set (> _MAX_SPLIT_ID_RUNS runs)
+      becomes a broadcast LEFT SEMI join against a tiny id DataFrame —
+      dynamic partition pruning does the scan-side work instead of a
+      giant In-list bloating plan serialization and the parquet filter.
+    """
+    runs = _split_id_runs(split_ids)
+    if not runs:
+        return df.filter(F.lit(False))
+    if len(runs) <= _MAX_SPLIT_ID_RUNS:
+        pred = F.col("split_id").between(runs[0][0], runs[0][1])
+        for lo, hi in runs[1:]:
+            pred = pred | F.col("split_id").between(lo, hi)
+        return df.filter(pred)
+    ids_df = df.sparkSession.createDataFrame(
+        [(int(i),) for i in sorted(set(int(x) for x in split_ids))],
+        "split_id int",
+    )
+    return df.join(F.broadcast(ids_df), "split_id", "left_semi")
+
+
 def _scan_inputs(
     searcher: Searcher,
     ast,
@@ -137,20 +182,16 @@ def _scan_inputs(
     terms = query_terms(ast)
     fields = sorted({t.field for t in terms})
     term_strs = sorted({t.term for t in terms})
-    postings = (
-        searcher.table("postings")
-        .filter(F.col("split_id").isin(split_ids))
-        .filter(F.col("field").isin(fields) & F.col("term").isin(term_strs))
+    postings = filter_split_ids(searcher.table("postings"), split_ids).filter(
+        F.col("field").isin(fields) & F.col("term").isin(term_strs)
     )
     ff_names = [f"norm_{f}" for f in fields]
     if need_ts:
         ff_names.append(f"ts_{need_ts}")
     ff_names += list(extra_ff)
-    fastfields = (
-        searcher.table("fastfields")
-        .filter(F.col("split_id").isin(split_ids))
-        .filter(F.col("name").isin(ff_names))
-    )
+    fastfields = filter_split_ids(
+        searcher.table("fastfields"), split_ids
+    ).filter(F.col("name").isin(ff_names))
     return postings, fastfields
 
 

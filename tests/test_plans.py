@@ -101,3 +101,45 @@ def test_searcher_cache_reuse_and_invalidation(spark, built_index):
     os.utime(manifest)
     s2 = get_searcher(spark, built_index)
     assert s2 is not s1
+
+
+def test_split_id_filter_scales_past_literal_inlists(spark, built_index):
+    """filter_split_ids must never emit a 10^4-literal In-filter:
+    dense id sets become a constant number of range predicates
+    (partition pruning intact), fragmented huge sets become a
+    broadcast semi-join (VERDICT r2 'what's wrong' #4)."""
+    from quickwit_spark.operators.search import (
+        _split_id_runs,
+        filter_split_ids,
+    )
+
+    assert _split_id_runs([3, 1, 2, 7, 8, 10]) == [(1, 3), (7, 8), (10, 10)]
+    assert _split_id_runs([]) == []
+
+    ms = Metastore(built_index)
+    scan = spark.read.parquet(ms.postings_dir())
+
+    # dense 10^5-id set → one BETWEEN range, no In-list, still pruned
+    dense = list(range(100_000))
+    plan = (
+        filter_split_ids(scan, dense)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "PartitionFilters" in plan
+    assert plan.count(",") < 500, "plan blew up — literal id list leaked"
+
+    # fragmented 10^4-run set → semi-join, still no giant In-list
+    frag = list(range(0, 40_000, 4))
+    plan_frag = (
+        filter_split_ids(scan, frag)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "In(split_id" not in plan_frag
+    assert "LeftSemi" in plan_frag
+
+    # the real search path still pushes term predicates after the change
+    hits, _, _ = _evaluate(
+        spark, built_index, SearchRequest(query="word"), emit_all=False
+    )
+    plan_search = hits._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters" in plan_search

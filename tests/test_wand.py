@@ -101,3 +101,62 @@ def test_count_exact_disables_wand(ctx):
     docs, scores = eval_node(ctx, ast)
     _, _, num_hits = evaluate_split(ctx, ast, 10, count_exact=True)
     assert num_hits == docs.size
+
+
+def test_single_term_topk_matches_full_eval(ctx):
+    """Single-term block-max path: bit-identical to full decode on a
+    hot-tail (prunable) list, while decoding < 50% of blocks and
+    never one block per lexsort round (tantivy per-block skip,
+    SURVEY.md §2.6)."""
+    node = TermQ("text", "hot")
+    k = 10
+    full_docs, full_scores = eval_node(ctx, node)
+    order = np.lexsort((full_docs, -full_scores.astype(np.float64)))[:k]
+
+    reset_decode_counters()
+    got_docs, got_scores, num_hits = evaluate_split(ctx, node, k, count_exact=False)
+    assert (got_docs == full_docs[order]).all()
+    assert (got_scores == full_scores[order].astype(np.float64)).all()
+    assert num_hits == ctx.postings[("text", "hot")]["doc_freq"]
+    frac = DECODE_COUNTERS["blocks_decoded"] / DECODE_COUNTERS["blocks_total"]
+    assert frac < 0.5, DECODE_COUNTERS
+
+
+def test_single_term_flat_list_bails_to_full_decode():
+    """Uniform tf + uniform norms → the ub spread is zero and the
+    bound cannot prune: the evaluator must take the one-pass full
+    decode, not a per-chunk threshold loop (r2 q_term regression)."""
+    df = 50_000
+    docs = np.arange(df, dtype=np.uint64) * 2
+    tfs = np.ones(df, dtype=np.uint64)
+    enc = encode_posting_list(docs, tfs)
+    row = {
+        "doc_freq": df,
+        "total_tf": df,
+        "doc_bytes": enc["doc_bytes"],
+        "tf_bytes": enc["tf_bytes"],
+        "skip_bytes": enc["skip_bytes"],
+        "pos_bytes": None,
+    }
+    ctx = SplitContext(
+        num_docs=2 * df,
+        total_tokens={"text": 10 * df},
+        postings={("text", "flat"): row},
+        norms={"text": np.full(2 * df, 100, dtype=np.uint8)},
+    )
+    node = TermQ("text", "flat")
+    full_docs, full_scores = eval_node(ctx, node)
+    order = np.lexsort((full_docs, -full_scores.astype(np.float64)))[:10]
+
+    import time
+
+    reset_decode_counters()
+    t0 = time.perf_counter()
+    got_docs, got_scores, num_hits = evaluate_split(ctx, node, 10, count_exact=False)
+    elapsed = time.perf_counter() - t0
+    assert (got_docs == full_docs[order]).all()
+    assert (got_scores == full_scores[order].astype(np.float64)).all()
+    assert num_hits == df
+    # the one-pass path reports every block decoded exactly once
+    assert DECODE_COUNTERS["blocks_decoded"] == DECODE_COUNTERS["blocks_total"]
+    assert elapsed < 0.15, f"flat-list single-term eval took {elapsed:.3f}s"
