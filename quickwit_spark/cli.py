@@ -106,7 +106,24 @@ def cmd_search(args) -> int:
     )
     hits = search_df(spark, args.index, req)
     out = fetch_docs(spark, args.index, hits)
-    rows = [r.asDict(recursive=True) for r in out.collect()]
+    collected = out.collect()
+    if args.format == "json":
+        # original-document output (reference `store_source`,
+        # default_mapper.rs:47,162-167): each hit IS the doc as it was
+        # ingested, parsed back from the stored `_source` column
+        if "_source" not in out.columns:
+            print(
+                json.dumps(
+                    {
+                        "error": "--format json needs an index built with "
+                        '"store_source": true (no _source column stored)'
+                    }
+                )
+            )
+            return 1
+        rows = [json.loads(r["_source"]) for r in collected]
+    else:
+        rows = [r.asDict(recursive=True) for r in collected]
     print(json.dumps({"num_hits": len(rows), "hits": rows}, default=str))
     return 0
 
@@ -253,6 +270,13 @@ def main(argv: list[str] | None = None) -> int:
     c.add_argument("--start-timestamp", default=None)
     c.add_argument("--end-timestamp", default=None)
     c.add_argument("--sort-by-field", default=None, help="+field / -field")
+    c.add_argument(
+        "--format",
+        default="fields",
+        choices=["fields", "json"],
+        help="fields: docmap columns per hit; json: the original "
+        "ingested document (requires store_source)",
+    )
     c.set_defaults(fn=cmd_search)
 
     c = sub.add_parser("describe", help="index metadata")

@@ -594,6 +594,22 @@ def _execute_build(
     for tf_name in config.tag_fields:
         doc_cols.append(F.col(tf_name).cast("string").alias(f"tag_{tf_name}"))
         tag_aliases.append(f"tag_{tf_name}")
+    if config.store_source:
+        # stored original doc (default_mapper.rs:47,162-167): a raw
+        # `_source` column (doc_from_json JSON-line sources) is kept
+        # verbatim; table sources get a canonical JSON of the row
+        if "_source" in df.columns:
+            doc_cols.append(F.col("_source"))
+        else:
+            src_cols = [
+                c for c in df.columns
+                if c != "split_id" and not c.startswith("__")
+            ]
+            doc_cols.append(
+                F.to_json(F.struct(*[F.col(c) for c in src_cols])).alias(
+                    "_source"
+                )
+            )
     extra_src = [
         fc.name for fc in config.indexed_fields if fc.name not in present
     ]

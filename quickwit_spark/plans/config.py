@@ -58,6 +58,11 @@ class IndexConfig:
     # e.g. a time-sorted index gets row-group min/max pruning on the
     # docmap and a monotone ts fast-field blob
     sort_by_field: str | None = None
+    # opt-in stored original document (default_mapper.rs:47,162-167
+    # `store_source`): the raw JSON line (doc_from_json sources) or a
+    # canonical JSON of the input row (table sources) rides the docmap
+    # as a `_source` column and is returned by fetch_docs / CLI search
+    store_source: bool = False
     split_num_docs_target: int = 10_000_000
     merge_factor: int = 10
     max_merge_factor: int = 12
@@ -83,6 +88,7 @@ class IndexConfig:
             "tag_fields": list(self.tag_fields),
             "fast_fields": list(self.fast_fields),
             "sort_by_field": self.sort_by_field,
+            "store_source": self.store_source,
             "split_num_docs_target": self.split_num_docs_target,
             "merge_factor": self.merge_factor,
             "max_merge_factor": self.max_merge_factor,
@@ -100,6 +106,7 @@ class IndexConfig:
             tag_fields=tuple(d.get("tag_fields", ())),
             fast_fields=tuple(d.get("fast_fields", ())),
             sort_by_field=d.get("sort_by_field"),
+            store_source=d.get("store_source", False),
             split_num_docs_target=d.get("split_num_docs_target", 10_000_000),
             merge_factor=d.get("merge_factor", 10),
             max_merge_factor=d.get("max_merge_factor", 12),

@@ -121,12 +121,18 @@ def doc_from_json(
     lines: DataFrame,
     fields: list[JsonField],
     json_col: str = "value",
+    keep_source: bool = False,
 ) -> tuple[DataFrame, ParseCounters]:
     """Parse a DataFrame of JSON lines into typed, flattened columns.
 
     Returns ``(docs, counters)`` where ``docs`` has one column per
     declared field (named by its dotted path) and only VALID rows,
     and ``counters`` mirrors the reference indexer's counts.
+
+    ``keep_source=True`` additionally carries the ORIGINAL json line
+    verbatim as a ``_source`` column — the DocMapper's
+    ``store_source`` (default_mapper.rs:47,162-167). ``build_index``
+    stores it in the docmap when the index config opts in.
     """
     schema = _nest_schema(fields).add("_corrupt", T.StringType())
     parsed = lines.select(
@@ -162,8 +168,11 @@ def doc_from_json(
         parse_errors=counts.get("parse_error", 0),
         missing_required=counts.get("missing_required", 0),
     )
+    out_cols = [_flat_col(f) for f in fields]
+    if keep_source:
+        out_cols.append(F.col("__raw").alias("_source"))
     docs = (
         with_status.filter(F.col("__status") == "valid")
-        .select(*[_flat_col(f) for f in fields])
+        .select(*out_cols)
     )
     return docs, counters

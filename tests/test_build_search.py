@@ -319,3 +319,57 @@ def test_search_wrapper_orders_on_exact_int_lane(spark, tmp_path_factory):
     ).collect()
     assert [int(r["sort_long"]) for r in got] == [big, big + 1]
     assert [r["key"] for r in got] == ["b", "a"]
+
+
+def test_store_source_roundtrip(spark, tmp_path_factory):
+    """store_source parity (default_mapper.rs:47,162-167): an opted-in
+    index stores the original document in the docmap and fetch_docs
+    returns it — byte-identical for JSON-line sources, canonical JSON
+    for table sources."""
+    import json
+
+    from quickwit_spark.operators.build import build_index
+    from quickwit_spark.operators.search import (
+        SearchRequest,
+        fetch_docs,
+        search_df,
+    )
+    from quickwit_spark.plans.config import FieldConfig, IndexConfig
+    from quickwit_spark.sources.json_mapper import JsonField, doc_from_json
+
+    cfg = IndexConfig(
+        fields=(FieldConfig("body", tokenizer="default"),),
+        key_field="uid",
+        default_search_fields=("body",),
+        store_source=True,
+    )
+
+    # --- JSON-line source: _source is the raw line, verbatim ---
+    raw = [
+        '{"uid": "a", "body": "green anchovy swims",   "extra": [1, 2]}',
+        '{"uid": "b", "body": "blue anchovy rests", "nested": {"x": 9}}',
+    ]
+    lines = spark.createDataFrame([(d,) for d in raw], "value string")
+    docs, _ = doc_from_json(
+        lines,
+        [JsonField("uid", required=True), JsonField("body")],
+        keep_source=True,
+    )
+    idx_json = str(tmp_path_factory.mktemp("srcjson") / "idx")
+    build_index(spark, docs, idx_json, cfg, num_splits=1)
+    hits = search_df(spark, idx_json, SearchRequest(query="anchovy", k=5))
+    got = fetch_docs(spark, idx_json, hits).collect()
+    assert sorted(r["_source"] for r in got) == sorted(raw)
+
+    # --- table source: _source is a canonical JSON of the row ---
+    idx_tbl = str(tmp_path_factory.mktemp("srctbl") / "idx")
+    df = spark.createDataFrame(
+        [("a", "green anchovy swims", 7), ("b", "blue heron rests", 8)],
+        "uid string, body string, n long",
+    )
+    build_index(spark, df, idx_tbl, cfg, num_splits=1)
+    hits = search_df(spark, idx_tbl, SearchRequest(query="anchovy", k=5))
+    got = fetch_docs(spark, idx_tbl, hits).collect()
+    assert len(got) == 1
+    doc = json.loads(got[0]["_source"])
+    assert doc == {"uid": "a", "body": "green anchovy swims", "n": 7}

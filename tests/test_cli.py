@@ -133,3 +133,56 @@ def test_cli_delete(spark, cli_env, capsys, tmp_path):
     import os
 
     assert not os.path.exists(idx)
+
+
+def test_cli_search_format_json_store_source(spark, cli_env, capsys, tmp_path):
+    """`search --format json` returns the ORIGINAL ingested document
+    (reference store_source, default_mapper.rs:47,162-167)."""
+    idx = str(tmp_path / "idx_src")
+    root = tmp_path
+    _, _, data_path = cli_env
+    cfg = {
+        "fields": [{"name": "text", "tokenizer": "default"}],
+        "key_field": "url",
+        "default_search_fields": ["text"],
+        "store_source": True,
+    }
+    cfg_path = str(root / "cfg_src.json")
+    with open(cfg_path, "w") as f:
+        json.dump(cfg, f)
+    r = _run(
+        capsys, "ingest", "--index", idx, "--input", data_path,
+        "--config", cfg_path, "--num-splits", "2",
+    )
+    assert r["num_docs"] == 200
+    r = _run(
+        capsys, "search", "--index", idx, "--query", "hot word",
+        "-k", "3", "--format", "json",
+    )
+    assert r["num_hits"] > 0
+    # each hit is the original row (all ingested columns, not the
+    # docmap projection — no split_id/doc_id/score engine fields)
+    for h in r["hits"]:
+        assert set(h) == {"url", "warc_ts", "text", "lang"}
+        assert h["text"]
+
+
+def test_cli_search_format_json_requires_store_source(
+    cli_env, capsys, tmp_path
+):
+    """--format json on an index built WITHOUT store_source is a clear
+    error, not a KeyError. (cli_env's shared index is deleted by
+    test_cli_delete above, so ingest a fresh one here.)"""
+    idx = str(tmp_path / "idx_nosrc")
+    _, cfg_path, data_path = cli_env
+    r = _run(
+        capsys, "ingest", "--index", idx, "--input", data_path,
+        "--config", cfg_path, "--num-splits", "1",
+    )
+    assert r["num_docs"] == 200
+    rc = cli.main(
+        ["search", "--index", idx, "--query", "hot", "--format", "json"]
+    )
+    out = capsys.readouterr().out
+    assert rc == 1
+    assert "store_source" in out

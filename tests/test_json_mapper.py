@@ -86,3 +86,15 @@ def test_required_field_with_invalid_value_rejected(spark):
     docs, c = doc_from_json(lines, fields)
     assert c.valid == 1 and c.missing_required == 1
     assert [r["uid"] for r in docs.collect()] == [7]
+
+
+def test_keep_source_carries_raw_line(spark):
+    """store_source parse side (default_mapper.rs:47,162-167): the
+    valid docs carry the ORIGINAL json line verbatim as `_source`."""
+    lines = spark.createDataFrame([(d,) for d in DOCS], "value string")
+    docs, _ = doc_from_json(lines, FIELDS, keep_source=True)
+    rows = docs.collect()
+    assert "_source" in docs.columns
+    by_ts = {r["ts"]: r for r in rows}
+    assert by_ts[2]["_source"] == DOCS[0]  # byte-identical, not re-serialized
+    assert by_ts[9]["_source"] == DOCS[2]
