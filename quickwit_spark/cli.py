@@ -47,28 +47,31 @@ def _load_config(path: str):
 
 
 def cmd_create(args) -> int:
-    from quickwit_spark.plans.metastore import Metastore
+    from quickwit_spark.plans.metastore import open_metastore
 
-    Metastore(args.index).create(_load_config(args.config))
+    config = _load_config(args.config)
+    open_metastore(args.index, config).create(config)
     print(f"created index at {args.index}")
     return 0
 
 
 def cmd_ingest(args) -> int:
     from quickwit_spark.operators.build import add_documents, build_index
-    from quickwit_spark.plans.metastore import Metastore
+    from quickwit_spark.plans.metastore import open_metastore
 
     from quickwit_spark.sources.tables import read_table
 
     spark = get_spark("qws-ingest")
     df = read_table(spark, args.input, format=args.format)
-    ms = Metastore(args.index)
+    ms = open_metastore(args.index)
     if args.position is not None:
         # --position must be exactly-once-guarded even for the FIRST
         # batch (ADVICE r1): create the empty index if needed, then
         # go through add_documents, whose checkpoint covers replays.
         if not ms.exists():
-            ms.create(_load_config(args.config))
+            config = _load_config(args.config)
+            ms = open_metastore(args.index, config)
+            ms.create(config)
         metas = add_documents(
             spark, df, args.index, position=args.position,
             num_splits=args.num_splits,
@@ -129,9 +132,9 @@ def cmd_search(args) -> int:
 
 
 def cmd_describe(args) -> int:
-    from quickwit_spark.plans.metastore import Metastore
+    from quickwit_spark.plans.metastore import open_metastore
 
-    ms = Metastore(args.index)
+    ms = open_metastore(args.index)
     splits = ms.splits()
     print(
         json.dumps(
@@ -154,10 +157,10 @@ def cmd_describe(args) -> int:
 def cmd_merge(args) -> int:
     from quickwit_spark.operators.merge import merge_splits
     from quickwit_spark.plans.merge_policy import plan_merges
-    from quickwit_spark.plans.metastore import Metastore
+    from quickwit_spark.plans.metastore import open_metastore
 
     spark = get_spark("qws-merge")
-    ms = Metastore(args.index)
+    ms = open_metastore(args.index)
     if args.splits:
         ops = [args.splits.split(",")]
     else:
@@ -191,9 +194,9 @@ def cmd_delete(args) -> int:
     import shutil
 
     from quickwit_spark.plans.merge_policy import garbage_collect
-    from quickwit_spark.plans.metastore import Metastore
+    from quickwit_spark.plans.metastore import open_metastore
 
-    ms = Metastore(args.index)
+    ms = open_metastore(args.index)
     if args.splits:
         sids = args.splits.split(",")
         known = {s.split_id for s in ms.splits()}

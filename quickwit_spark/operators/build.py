@@ -46,7 +46,7 @@ from pyspark.sql import functions as F
 from quickwit_spark.operators.analysis import tokenize_col
 from quickwit_spark.operators.fieldnorm import fieldnorm_id_col
 from quickwit_spark.plans.config import IndexConfig, RECORD_POSITION
-from quickwit_spark.plans.metastore import Metastore, SplitMetadata
+from quickwit_spark.plans.metastore import SplitMetadata, open_metastore
 
 POSTINGS_SCHEMA = (
     "split_id int, field string, term string, doc_freq long, total_tf long, "
@@ -369,7 +369,7 @@ def build_index(
     with doc-id-range salting so a hot term's encode is spread over
     ``num_docs / salt_chunk`` tasks (skew handling).
     """
-    ms = Metastore(index_dir)
+    ms = open_metastore(index_dir, config)
     if not ms.exists():
         ms.create(config)
     else:
@@ -422,7 +422,7 @@ def add_documents(
     ``source_id`` is already at/past it, the call is a NO-OP —
     exactly-once on micro-batch replay (checkpoint.rs:160-178).
     """
-    ms = Metastore(index_dir)
+    ms = open_metastore(index_dir)
     config = ms.config()
     if position is not None:
         prev = ms.checkpoint(source_id).get("position")

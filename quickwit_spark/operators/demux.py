@@ -42,7 +42,7 @@ from quickwit_spark.operators.merge import (
     merge_partial_postings,
     remap_postings_fn,
 )
-from quickwit_spark.plans.metastore import Metastore, SplitMetadata
+from quickwit_spark.plans.metastore import SplitMetadata, open_metastore
 
 
 # sentinel standing in for NULL demux values in counts/bins/joins —
@@ -81,7 +81,7 @@ def demux_splits(
     """Demux published splits into ``num_out_splits`` splits bucketed
     by ``field`` (must be a docmap column: a fast field or the key).
     Returns the new splits' metadata."""
-    ms = Metastore(index_dir)
+    ms = open_metastore(index_dir)
     config = ms.config()
     metas = {s.split_id: s for s in ms.list_published()}
     if split_ids is None:

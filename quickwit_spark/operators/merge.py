@@ -32,7 +32,7 @@ from quickwit_spark.operators.codec import (
     decode_positions,
     encode_posting_list,
 )
-from quickwit_spark.plans.metastore import Metastore, SplitMetadata
+from quickwit_spark.plans.metastore import SplitMetadata, open_metastore
 
 POSTINGS_SCHEMA = (
     "split_id int, field string, term string, doc_freq long, total_tf long, "
@@ -174,7 +174,7 @@ def merge_splits(
     term_buckets: int | None = None,
 ) -> SplitMetadata:
     """Merge k published splits into one new split (compaction op)."""
-    ms = Metastore(index_dir)
+    ms = open_metastore(index_dir)
     config = ms.config()
     metas = {s.split_id: s for s in ms.list_published()}
     inputs = [metas[sid] for sid in split_ids]

@@ -32,7 +32,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from quickwit_spark.operators.eval import SplitContext, evaluate_split
-from quickwit_spark.plans.metastore import Metastore
+from quickwit_spark.plans.metastore import open_metastore
 from quickwit_spark.plans.parser import parse_query, query_terms, resolve_query
 from quickwit_spark.plans.pruning import prune_splits, split_fully_inside
 
@@ -49,25 +49,19 @@ class Searcher:
     driver work is re-resolving the postings/fastfields/docmap parquet
     DataFrames (file listing + footer schema inference), so one
     Searcher caches them per (SparkSession, index_dir) and is
-    invalidated whenever the manifest changes (every split mutation —
-    publish/merge/demux/GC — rewrites manifest.json atomically, so the
-    manifest stamp covers data-file changes too)."""
+    invalidated whenever the metastore's ``state_token()`` changes
+    (every split mutation — publish/merge/demux/GC — bumps it on both
+    backends: manifest rewrite for file-backed, commit version for the
+    table-backed log, so the token covers data-file changes too)."""
 
     def __init__(self, spark: SparkSession, index_dir: str):
         self.spark = spark
-        self.ms = Metastore(index_dir)
-        self._stamp = self._manifest_stamp()
+        self.ms = open_metastore(index_dir)
+        self._stamp = self.ms.state_token()
         self._dfs: dict[str, DataFrame] = {}
 
-    def _manifest_stamp(self):
-        st = os.stat(self.ms.manifest_path)
-        return (st.st_mtime_ns, st.st_size)
-
     def fresh(self) -> bool:
-        try:
-            return self._stamp == self._manifest_stamp()
-        except OSError:
-            return False
+        return self._stamp is not None and self._stamp == self.ms.state_token()
 
     def table(self, name: str) -> DataFrame:
         """Resolved DataFrame for 'postings' | 'fastfields' | 'docmap'."""

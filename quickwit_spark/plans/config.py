@@ -63,6 +63,12 @@ class IndexConfig:
     # canonical JSON of the input row (table sources) rides the docmap
     # as a `_source` column and is returned by fetch_docs / CLI search
     store_source: bool = False
+    # metastore backend laid down at create(): "file" — single-writer
+    # JSON manifest (default); "table" — multi-writer commit log with
+    # optimistic concurrency + Spark-readable splits table, the
+    # reference's PostgreSQL-metastore analogue
+    # (quickwit-metastore/src/metastore/postgresql_metastore.rs)
+    metastore_backend: str = "file"
     split_num_docs_target: int = 10_000_000
     merge_factor: int = 10
     max_merge_factor: int = 12
@@ -89,6 +95,7 @@ class IndexConfig:
             "fast_fields": list(self.fast_fields),
             "sort_by_field": self.sort_by_field,
             "store_source": self.store_source,
+            "metastore_backend": self.metastore_backend,
             "split_num_docs_target": self.split_num_docs_target,
             "merge_factor": self.merge_factor,
             "max_merge_factor": self.max_merge_factor,
@@ -107,6 +114,7 @@ class IndexConfig:
             fast_fields=tuple(d.get("fast_fields", ())),
             sort_by_field=d.get("sort_by_field"),
             store_source=d.get("store_source", False),
+            metastore_backend=d.get("metastore_backend", "file"),
             split_num_docs_target=d.get("split_num_docs_target", 10_000_000),
             merge_factor=d.get("merge_factor", 10),
             max_merge_factor=d.get("max_merge_factor", 12),

@@ -27,8 +27,8 @@ from quickwit_spark.plans.config import IndexConfig
 from quickwit_spark.plans.metastore import (
     MARKED_FOR_DELETION,
     STAGED,
-    Metastore,
     SplitMetadata,
+    open_metastore,
 )
 
 GC_STAGED_GRACE_SECS = 24 * 3600
@@ -78,7 +78,7 @@ def run_merge_pipeline(spark, index_dir: str, max_ops: int | None = None) -> int
     """Plan + execute merges until a fixpoint (or ``max_ops``)."""
     from quickwit_spark.operators.merge import merge_splits
 
-    ms = Metastore(index_dir)
+    ms = open_metastore(index_dir)
     config = ms.config()
     done = 0
     while True:
@@ -94,7 +94,7 @@ def run_merge_pipeline(spark, index_dir: str, max_ops: int | None = None) -> int
 
 def garbage_collect(index_dir: str, now: float | None = None, grace: bool = True) -> list[str]:
     """Delete data of retired splits past their grace period."""
-    ms = Metastore(index_dir)
+    ms = open_metastore(index_dir)
     now = now if now is not None else time.time()
     victims = []
     for s in ms.splits():

@@ -95,6 +95,15 @@ class Metastore:
     def exists(self) -> bool:
         return os.path.exists(self.manifest_path)
 
+    def state_token(self):
+        """Changes whenever any split mutation lands (every mutation
+        rewrites the manifest atomically) — Searcher cache key."""
+        try:
+            st = os.stat(self.manifest_path)
+        except OSError:
+            return None
+        return (st.st_mtime_ns, st.st_size)
+
     def _read(self) -> dict:
         with open(self.manifest_path) as f:
             return json.load(f)
@@ -224,3 +233,31 @@ class Metastore:
 
     def split_docmap_dir(self, split_id: str) -> str:
         return os.path.join(self.docmap_dir(), f"split_id={split_id}")
+
+
+def open_metastore(index_dir: str, config: IndexConfig | None = None):
+    """Resolve the metastore backend for ``index_dir``.
+
+    Existing indexes are detected by layout (``metastore/_log`` →
+    table-backed commit log, ``manifest.json`` → file-backed). For an
+    index that does not exist yet, ``config.metastore_backend`` picks
+    the backend that a subsequent ``create()`` will lay down
+    (file-backed default — single-writer JSON manifest; ``"table"`` —
+    the multi-writer commit log in
+    :mod:`quickwit_spark.plans.table_metastore`, the reference's
+    PostgreSQL-metastore analogue).
+    """
+    from quickwit_spark.plans.table_metastore import TableMetastore
+
+    table = TableMetastore(index_dir)
+    if table.exists():
+        return table
+    file_ms = Metastore(index_dir)
+    if file_ms.exists():
+        return file_ms
+    backend = getattr(config, "metastore_backend", "file") if config else "file"
+    if backend == "table":
+        return table
+    if backend != "file":
+        raise ValueError(f"unknown metastore_backend {backend!r}")
+    return file_ms

@@ -34,7 +34,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from quickwit_spark.operators.build import add_documents
 from quickwit_spark.plans.config import IndexConfig
-from quickwit_spark.plans.metastore import Metastore
+from quickwit_spark.plans.metastore import open_metastore
 
 
 def file_stream_source(
@@ -93,7 +93,7 @@ def ingest_stream(
     interval cuts one batch of splits.
     """
     spark = stream_df.sparkSession
-    ms = Metastore(index_dir)
+    ms = open_metastore(index_dir, config)
     if not ms.exists():
         if config is None:
             raise ValueError("config required to create a new index")
