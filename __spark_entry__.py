@@ -416,6 +416,38 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_id", "fingerprint"
     )
 
+    def pii_scrub(spark, sf_dir):
+        from quickwit_spark.functions.pii import with_pii_scrub
+
+        # the synthetic corpus has no PII; inject a deterministic mix
+        # on 1/3 of docs (mirrored verbatim in the oracle) so the
+        # regexes are exercised against real matches, not empty-vs-empty
+        d = _docs(spark, sf_dir).withColumn(
+            "text",
+            F.when(
+                F.col("doc_id") % 3 == 0,
+                F.concat(
+                    F.col("text"),
+                    F.lit(" contact user"),
+                    F.col("doc_id").cast("string"),
+                    F.lit("@example.com or 555-123-4567 ssn 123-45-6789 host 10.0.0."),
+                    (F.col("doc_id") % 256).cast("string"),
+                ),
+            ).otherwise(F.col("text")),
+        )
+        return with_pii_scrub(d).select(
+            "doc_id", "n_email", "n_ssn", "n_phone", "n_ipv4", "n_pii", "scrubbed"
+        )
+
+    q["pii_scrub"] = pii_scrub
+
+    def chunk_docs(spark, sf_dir):
+        from quickwit_spark.functions.chunking import chunk_documents
+
+        return chunk_documents(_docs(spark, sf_dir), chunk_size=64, stride=48)
+
+    q["chunk_docs"] = chunk_docs
+
     # ---- deduplication ----
     q["dedup_exact"] = lambda s, d: dedup.exact_dup_groups(_docs(s, d)).select(
         F.col("key").alias("doc_id"), "content_hash", "group_size", "is_canonical"
@@ -804,6 +836,40 @@ FROM per
   GROUP BY b.doc_id
 )
 SELECT doc_id, md5(ntext) AS fingerprint FROM norm
+"""
+
+    from quickwit_spark.functions.pii import pii_oracle_exprs
+
+    pii_counts, pii_scrubbed = pii_oracle_exprs("text")
+    o["pii_scrub"] = f"""
+WITH aug AS (
+  SELECT doc_id,
+    CASE WHEN doc_id % 3 = 0
+         THEN text || ' contact user' || CAST(doc_id AS VARCHAR)
+              || '@example.com or 555-123-4567 ssn 123-45-6789 host 10.0.0.'
+              || CAST(doc_id % 256 AS VARCHAR)
+         ELSE text END AS text
+  FROM documents
+)
+SELECT doc_id, {pii_counts}, {pii_scrubbed} FROM aug
+"""
+
+    o["chunk_docs"] = r"""
+WITH base AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS toks
+  FROM documents
+), sized AS (
+  SELECT doc_id, toks, len(toks) AS n FROM base WHERE len(toks) > 0
+), st AS (
+  SELECT doc_id, toks, n, unnest(range(0, n, 48)) AS start FROM sized
+)
+SELECT doc_id,
+  CAST(start / 48 AS BIGINT) AS chunk_id,
+  CAST(start AS BIGINT) AS chunk_start,
+  CAST(least(64, n - start) AS BIGINT) AS n_chunk_tokens,
+  array_to_string(toks[start + 1 : least(start + 64, n)], ' ') AS chunk_text
+FROM st
 """
 
     o["dedup_exact"] = _with(_TOKS_CTE) + """

@@ -450,3 +450,86 @@ def test_topn_per_stratum_hash_subsample(spark):
     assert "__rank_key" not in topn_per_stratum(
         df, "lang", 25, key_col="doc_id"
     ).columns
+
+
+def test_pii_scrub_categories_and_order(spark):
+    from quickwit_spark.functions.pii import with_pii_scrub
+
+    rows = [
+        (0, "mail bob.smith+x@sub.example.co.uk now"),
+        (1, "call 555-123-4567 or 555.987.6543 today"),
+        (2, "ssn 123-45-6789 leaked"),
+        (3, "server at 192.168.0.1 and 10.0.0.255"),
+        (4, "mixed a@b.io 111-22-3333 999-888-7777 1.2.3.4"),
+        (5, "clean text with no pii at all"),
+        (6, ""),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in with_pii_scrub(df).collect()}
+    assert out[0]["n_email"] == 1 and "<EMAIL>" in out[0]["scrubbed"]
+    assert "bob" not in out[0]["scrubbed"]
+    assert out[1]["n_phone"] == 2
+    assert out[1]["scrubbed"].count("<PHONE>") == 2
+    assert out[2]["n_ssn"] == 1 and "<SSN>" in out[2]["scrubbed"]
+    # ssn (3-2-4) must NOT be double-counted as phone (3-3-4)
+    assert out[2]["n_phone"] == 0
+    assert out[3]["n_ipv4"] == 2
+    assert out[4]["n_pii"] == 4
+    assert out[4]["scrubbed"] == "mixed <EMAIL> <SSN> <PHONE> <IP>"
+    assert out[5]["n_pii"] == 0 and out[5]["scrubbed"] == rows[5][1]
+    assert out[6]["n_pii"] == 0 and out[6]["scrubbed"] == ""
+
+
+def test_pii_scrub_is_narrow_plan(spark):
+    from quickwit_spark.functions.pii import with_pii_scrub
+
+    df = spark.range(10).withColumn("text", F.lit("a@b.io"))
+    plan = (
+        with_pii_scrub(df)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan  # pure per-row map, no shuffle
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_chunk_documents_windows(spark):
+    from quickwit_spark.functions.chunking import chunk_documents
+
+    toks = " ".join(f"t{i}" for i in range(10))
+    df = spark.createDataFrame(
+        [(0, toks), (1, "only three tokens"), (2, ""), (3, "   ")],
+        "doc_id long, text string",
+    )
+    out = chunk_documents(df, chunk_size=4, stride=3).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    # doc 0: starts 0,3,6,9 -> 4 chunks, last is short
+    c0 = sorted(by_doc[0], key=lambda r: r["chunk_id"])
+    assert [r["chunk_start"] for r in c0] == [0, 3, 6, 9]
+    assert c0[0]["chunk_text"] == "t0 t1 t2 t3"
+    assert c0[1]["chunk_text"] == "t3 t4 t5 t6"  # stride<size overlaps
+    assert c0[3]["chunk_text"] == "t9" and c0[3]["n_chunk_tokens"] == 1
+    # doc 1: one window covers everything
+    assert len(by_doc[1]) == 1 and by_doc[1][0]["n_chunk_tokens"] == 3
+    # empty / whitespace-only docs yield no chunks
+    assert 2 not in by_doc and 3 not in by_doc
+
+
+def test_chunk_documents_non_overlapping_partition(spark):
+    from quickwit_spark.functions.chunking import chunk_documents
+
+    toks = " ".join(f"w{i}" for i in range(9))
+    df = spark.createDataFrame([(7, toks)], "doc_id long, text string")
+    out = sorted(
+        chunk_documents(df, chunk_size=3).collect(),
+        key=lambda r: r["chunk_id"],
+    )
+    # default stride == chunk_size: exact partition of the token stream
+    joined = " ".join(r["chunk_text"] for r in out)
+    assert joined == toks
+    assert [r["n_chunk_tokens"] for r in out] == [3, 3, 3]
+    with pytest.raises(ValueError):
+        chunk_documents(df, chunk_size=0)
