@@ -393,6 +393,54 @@ def ivf_assign(
     )
 
 
+def ivf_assign_matmul(
+    df: DataFrame,
+    centroids: np.ndarray,
+    vec_col: str = "embedding",
+    key_col: str = "vec_id",
+) -> DataFrame:
+    """(key, cell) like :func:`ivf_assign`, but via an Arrow-batched
+    numpy matmul — the beyond-few-hundred-cells quantizer path the
+    expression fold can't take (its plan grows one sub-expression per
+    centroid; a 65k-cell quantizer needs one GEMM per Arrow batch
+    instead). Plan shape is identical: broadcast centroids (a real
+    ``SparkContext.broadcast``, shipped once per executor, not per
+    task), shuffle-free narrow scan; cell id = argmax cosine, ties →
+    lowest cell id (``np.argmax`` first-max, same tie order as the
+    fold). Results match :func:`ivf_assign` up to float-associativity
+    on exact cosine ties — the fold sums sequentially, the GEMM may
+    not, so only degenerate exactly-tied inputs can differ.
+
+    Zero vectors assign to cell 0 (all cosines treated as 0).
+    """
+    import pandas as pd
+
+    cn = np.asarray(centroids, dtype=np.float64)
+    norms = np.linalg.norm(cn, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    bc = df.sparkSession.sparkContext.broadcast(cn / norms)
+
+    ktype = df.schema[key_col].dataType.simpleString()
+
+    def assign(batches):
+        cmat = bc.value  # (n_cells, d) row-normalized
+        for pdf in batches:
+            v = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+            vn = np.linalg.norm(v, axis=1, keepdims=True)
+            vn[vn == 0] = 1.0
+            sims = (v / vn) @ cmat.T  # (batch, n_cells)
+            yield pd.DataFrame(
+                {
+                    "key": pdf[key_col],
+                    "cell": sims.argmax(axis=1).astype("int32"),
+                }
+            )
+
+    return df.select(
+        F.col(key_col).alias(key_col), F.col(vec_col)
+    ).mapInPandas(assign, schema=f"key {ktype}, cell int")
+
+
 def ivf_probe_cells(
     query_vec: list[float], centroids: np.ndarray, nprobe: int
 ) -> list[int]:

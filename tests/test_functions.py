@@ -533,3 +533,29 @@ def test_chunk_documents_non_overlapping_partition(spark):
     assert [r["n_chunk_tokens"] for r in out] == [3, 3, 3]
     with pytest.raises(ValueError):
         chunk_documents(df, chunk_size=0)
+
+
+def test_ivf_assign_matmul_matches_expression_fold(spark):
+    from quickwit_spark.functions import similarity as sim
+
+    rng = np.random.default_rng(11)
+    vecs = rng.normal(size=(80, 12)).round(3)  # round: no razor-edge ties
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(len(vecs))],
+        "vec_id long, embedding array<double>",
+    )
+    cents = sim.ivf_centroids(df, n_cells=7)
+    a = {r["key"]: r["cell"] for r in sim.ivf_assign(df, cents).collect()}
+    b = {
+        r["key"]: r["cell"]
+        for r in sim.ivf_assign_matmul(df, cents).collect()
+    }
+    assert a == b
+    # narrow plan: one Arrow-batched python stage, no shuffle
+    plan = (
+        sim.ivf_assign_matmul(df, cents)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan
