@@ -109,21 +109,22 @@ def cmd_search(args) -> int:
     )
     hits = search_df(spark, args.index, req)
     out = fetch_docs(spark, args.index, hits)
+    if args.format == "json" and "_source" not in out.columns:
+        # schema-only check — fail before running the query
+        print(
+            json.dumps(
+                {
+                    "error": "--format json needs an index built with "
+                    '"store_source": true (no _source column stored)'
+                }
+            )
+        )
+        return 1
     collected = out.collect()
     if args.format == "json":
         # original-document output (reference `store_source`,
         # default_mapper.rs:47,162-167): each hit IS the doc as it was
         # ingested, parsed back from the stored `_source` column
-        if "_source" not in out.columns:
-            print(
-                json.dumps(
-                    {
-                        "error": "--format json needs an index built with "
-                        '"store_source": true (no _source column stored)'
-                    }
-                )
-            )
-            return 1
         rows = [json.loads(r["_source"]) for r in collected]
     else:
         rows = [r.asDict(recursive=True) for r in collected]

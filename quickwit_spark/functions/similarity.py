@@ -411,7 +411,13 @@ def ivf_assign_matmul(
     on exact cosine ties — the fold sums sequentially, the GEMM may
     not, so only degenerate exactly-tied inputs can differ.
 
-    Zero vectors assign to cell 0 (all cosines treated as 0).
+    Zero-vector handling DIFFERS from the expression fold: here a
+    zero query/centroid contributes cosine 0 (norm clamped to 1),
+    whereas ``cosine_col`` divides by the true zero norm and yields
+    NaN — which Spark orders above every double, so the fold assigns
+    ALL vectors to a zero centroid's cell. Zero vectors are
+    degenerate inputs for cosine ANN either way; filter them out
+    upstream if the corpus can contain them.
     """
     import pandas as pd
 
@@ -425,6 +431,8 @@ def ivf_assign_matmul(
     def assign(batches):
         cmat = bc.value  # (n_cells, d) row-normalized
         for pdf in batches:
+            if len(pdf) == 0:
+                continue
             v = np.array(pdf[vec_col].tolist(), dtype=np.float64)
             vn = np.linalg.norm(v, axis=1, keepdims=True)
             vn[vn == 0] = 1.0

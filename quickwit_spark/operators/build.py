@@ -380,6 +380,17 @@ def build_index(
     if term_buckets is None:
         term_buckets = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
 
+    # bootstrap owns ids [0, num_splits) — deterministic so the
+    # per-split checkpoint makes re-runs resume instead of clobber.
+    # Anything already outside that range means this index has moved
+    # past bootstrap and incremental ingest must be used instead.
+    stale = [s.split_id for s in ms.splits() if int(s.split_id) >= num_splits]
+    if stale:
+        raise ValueError(
+            f"index already has splits {stale[:5]} outside the bootstrap "
+            f"range [0, {num_splits}) — use add_documents for "
+            "incremental ingest"
+        )
     key = config.key_field
     split_col = F.pmod(F.xxhash64(F.col(key)), F.lit(num_splits)).cast("int")
     df = df.withColumn("split_id", split_col)
@@ -432,7 +443,10 @@ def add_documents(
         term_buckets = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
     if num_splits is None:
         num_splits = _default_num_splits(df, config)
-    base = max((int(s.split_id) for s in ms.splits()), default=-1) + 1
+    # CAS-reserved contiguous block: concurrent add/merge/demux
+    # writers can never hand out the same ids (read-compute-use on
+    # the split list could, on the multi-writer table backend)
+    base = int(ms.allocate_split_ids(num_splits)[0])
 
     key = config.key_field
     split_col = (
@@ -561,6 +575,12 @@ def _execute_build(
     # conf must be set there or the partition overwrite goes static
     # and wipes previously-built splits
     spark = df.sparkSession
+    # reference order: stage -> upload -> publish (indexer stages
+    # split metadata before any upload). Staging placeholders BEFORE
+    # writing data makes a crashed run visible as Staged entries that
+    # the GC staged-grace pass retires — not invisible orphan data
+    # dirs. The real stage_splits at the end supersedes these.
+    ms.stage_splits([SplitMetadata(split_id=str(s)) for s in todo])
     key = config.key_field
     t0 = time.time()
     phase_secs: dict[str, float] = {}
@@ -606,9 +626,13 @@ def _execute_build(
                 if c != "split_id" and not c.startswith("__")
             ]
             doc_cols.append(
-                F.to_json(F.struct(*[F.col(c) for c in src_cols])).alias(
-                    "_source"
-                )
+                # keep null fields: the stored doc must distinguish
+                # "field was null" from "field absent" (to_json drops
+                # nulls by default, misrepresenting the ingested row)
+                F.to_json(
+                    F.struct(*[F.col(c) for c in src_cols]),
+                    {"ignoreNullFields": "false"},
+                ).alias("_source")
             )
     extra_src = [
         fc.name for fc in config.indexed_fields if fc.name not in present
@@ -795,6 +819,11 @@ def _execute_build(
             },
         )
         metas.append(meta)
+    built = {m.split_id for m in metas}
+    empty = [str(s) for s in todo if str(s) not in built]
+    if empty:  # placeholders for splits no docs hashed into
+        ms.mark_for_deletion(empty)
+        ms.delete_splits(empty)
     ms.stage_splits(metas)
     ms.publish_splits(
         [m.split_id for m in metas],

@@ -114,7 +114,13 @@ def demux_splits(
             f"(> {config.tag_cardinality_limit})"
         )
     bins = next_fit_bins(counts, num_out_splits)
-    base = max(int(s.split_id) for s in ms.splits()) + 1
+    # CAS-reserved block (disjoint under concurrent writers); stage
+    # placeholders for the ids actually used before any data write so
+    # a crashed demux leaves GC-able Staged entries (unused reserved
+    # ids are simply burnt)
+    base = int(ms.allocate_split_ids(num_out_splits)[0])
+    used = sorted({base + b for b in bins.values()})
+    ms.stage_splits([SplitMetadata(split_id=str(s)) for s in used])
 
     bin_df = F.broadcast(
         spark.createDataFrame(

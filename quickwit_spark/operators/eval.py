@@ -400,8 +400,9 @@ def _topk_single_term(
             remaining_alive = int((ub[order[i:]] >= threshold).sum())
             if remaining_alive > n_blocks // 2:
                 # the bound isn't pruning — pay one vectorized pass
-                # instead of n/chunk lexsort rounds
-                DECODE_COUNTERS["blocks_decoded"] += remaining_alive
+                # instead of n/chunk lexsort rounds (full_decode
+                # re-decodes every block, so count all of them)
+                DECODE_COUNTERS["blocks_decoded"] += n_blocks
                 return full_decode()
     return best_docs, best_scores.astype(np.float64), df
 

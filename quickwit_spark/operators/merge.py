@@ -184,7 +184,11 @@ def merge_splits(
         term_buckets = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
 
     in_ids = sorted(int(s.split_id) for s in inputs)
-    new_sid = max(int(s.split_id) for s in ms.splits()) + 1
+    # CAS-reserved id + placeholder staged before any data write:
+    # concurrent writers get disjoint ids, crashed merges leave a
+    # GC-able Staged entry (reference order: stage -> upload -> publish)
+    new_sid = int(ms.allocate_split_ids(1)[0])
+    ms.stage_splits([SplitMetadata(split_id=str(new_sid))])
     if config.sort_by_field:
         return _merge_splits_sorted(
             spark, ms, config, inputs, in_ids, new_sid, term_buckets

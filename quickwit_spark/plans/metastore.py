@@ -133,6 +133,23 @@ class Metastore:
         return dict(self._read()["checkpoints"].get(source_id, {}))
 
     # -- mutations (single-writer, atomic via rename) -------------------
+    def allocate_split_ids(self, n: int) -> list[str]:
+        """Reserve ``n`` contiguous split ids. Allocation is a
+        metastore mutation (not a read-compute-use on the split list)
+        so concurrent writers can never hand out the same id — ids of
+        runs that crash before staging are simply burnt. The reserved
+        counter rides the manifest as ``next_split_id``."""
+        if n <= 0:
+            raise ValueError("n must be positive")
+        m = self._read()
+        base = max(
+            int(m.get("next_split_id", 0)),
+            max((int(s["split_id"]) for s in m["splits"]), default=-1) + 1,
+        )
+        m["next_split_id"] = base + n
+        self._write(m)
+        return [str(base + i) for i in range(n)]
+
     def stage_splits(self, metas: list[SplitMetadata]) -> None:
         """Stage new splits. A leftover ``Staged`` entry with the same id
         (from a build that crashed before publish) is superseded — split

@@ -48,6 +48,7 @@ from __future__ import annotations
 import json
 import os
 import time
+import uuid
 from typing import Any, Callable
 
 import pyarrow as pa
@@ -73,6 +74,15 @@ def _empty_state() -> dict:
     return {"version": -1, "config": None, "splits": [], "checkpoints": {}}
 
 
+def _next_id(state: dict) -> int:
+    """First unreserved split id: past both the reserved counter and
+    any directly-staged ids (pure function of state — replay-safe)."""
+    return max(
+        int(state.get("next_split_id", 0)),
+        max((int(s["split_id"]) for s in state["splits"]), default=-1) + 1,
+    )
+
+
 def _apply(state: dict, actions: list[dict]) -> None:
     """Fold one commit's actions into ``state`` (mutates in place).
 
@@ -84,6 +94,7 @@ def _apply(state: dict, actions: list[dict]) -> None:
       mark:      split_id -> MarkedForDeletion
       remove:    split_id dropped from the table
       checkpoint: {source_id, partition, position}
+      alloc:     reserve N contiguous split ids (advances next_split_id)
     """
     by_id = {s["split_id"]: s for s in state["splits"]}
     for a in actions:
@@ -119,6 +130,8 @@ def _apply(state: dict, actions: list[dict]) -> None:
             state["checkpoints"].setdefault(c["source_id"], {})[
                 c["partition"]
             ] = str(c["position"])
+        elif "alloc" in a:
+            state["next_split_id"] = _next_id(state) + int(a["alloc"])
         else:  # unknown action from a future version: fail loudly
             raise ValueError(f"unknown metastore action: {sorted(a)}")
 
@@ -199,32 +212,57 @@ class TableMetastore:
         return best
 
     def _put_if_absent(self, path: str, payload: dict) -> None:
-        """Atomic create-exclusive — the CAS. On object storage this is
-        a conditional PUT; locally O_EXCL. Raises CommitConflict if the
-        version was taken by another writer."""
+        """Atomic put-if-absent WITH full content: write + fsync a
+        temp file, then ``os.link`` it to the final name — link fails
+        if the name exists (the CAS) and never exposes a partial or
+        empty commit to readers, even if this process dies mid-write
+        (a bare ``O_CREAT|O_EXCL`` open would publish an empty file
+        before the payload lands). On object storage the equivalent is
+        a conditional PUT (``If-None-Match: *``), which is also
+        all-or-nothing. Raises CommitConflict if the version was taken
+        by another writer."""
         data = json.dumps(payload, indent=0).encode()
+        tmp = f"{path}.tmp.{uuid.uuid4().hex}"
+        fd = os.open(tmp, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
         try:
-            fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-        except FileExistsError:
-            raise CommitConflict(path)
-        try:
-            os.write(fd, data)
+            written = 0
+            while written < len(data):
+                written += os.write(fd, data[written:])
             os.fsync(fd)
         finally:
             os.close(fd)
+        try:
+            os.link(tmp, path)
+        except FileExistsError:
+            raise CommitConflict(path)
+        finally:
+            os.unlink(tmp)
 
     def _load_state(self) -> dict:
         """Snapshot (if any) + replay of newer commits."""
         state = _empty_state()
-        try:
-            with open(self.last_ckpt_path) as f:
-                ckpt_v = json.load(f)["version"]
-            with open(
-                os.path.join(self.ckpt_dir, f"{ckpt_v:0{_PAD}d}.state.json")
-            ) as f:
-                state = json.load(f)
-        except FileNotFoundError:
-            pass
+        # retry: between reading the pointer and opening the snapshot,
+        # a newer checkpoint may have pruned the referenced snapshot —
+        # the fresh pointer then names a live one. Never fall through
+        # to replay-from-scratch (commit 0 may be pruned).
+        for attempt in range(4):
+            try:
+                with open(self.last_ckpt_path) as f:
+                    ckpt_v = json.load(f)["version"]
+            except FileNotFoundError:
+                break  # no checkpoint yet: full log is retained
+            try:
+                with open(
+                    os.path.join(
+                        self.ckpt_dir, f"{ckpt_v:0{_PAD}d}.state.json"
+                    )
+                ) as f:
+                    state = json.load(f)
+                break
+            except FileNotFoundError:
+                if attempt == 3:
+                    raise
+                continue
         v = state["version"]
         while True:
             v += 1
@@ -244,6 +282,12 @@ class TableMetastore:
         os.makedirs(self.ckpt_dir, exist_ok=True)
         base = os.path.join(self.ckpt_dir, f"{v:0{_PAD}d}")
         try:
+            prev = -1
+            try:
+                with open(self.last_ckpt_path) as f:
+                    prev = json.load(f)["version"]
+            except (FileNotFoundError, ValueError, KeyError):
+                pass
             # snapshot is derived data: last-writer-wins tmp+rename is
             # fine (every version-v snapshot has identical content)
             tmp = base + ".state.json.tmp"
@@ -255,8 +299,48 @@ class TableMetastore:
             with open(tmp, "w") as f:
                 json.dump({"version": v}, f)
             os.replace(tmp, self.last_ckpt_path)
+            self._prune_log(prev)
         except OSError:
             pass  # checkpoint is an optimization; log remains authoritative
+
+    def _prune_log(self, upto: int) -> None:
+        """Retire commits (and snapshots) ≤ the PREVIOUS checkpoint
+        version — one-interval retention grace, like Delta's bounded
+        log retention: any reader that loaded `_last_checkpoint`
+        before this checkpoint landed replays from the previous
+        snapshot, whose trailing commits are exactly the retained
+        window. Keeps the log listing (and thus ``state_token()`` /
+        ``_latest_version()`` on the search hot path) O(interval)
+        instead of O(total mutations ever)."""
+        if upto < 0:
+            return
+        for n in os.listdir(self.log_dir):
+            if not n.endswith(".json"):
+                continue
+            try:
+                ver = int(n[: -len(".json")])
+            except ValueError:
+                continue
+            if ver <= upto:
+                try:
+                    os.unlink(os.path.join(self.log_dir, n))
+                except OSError:
+                    pass
+        try:
+            names = os.listdir(self.ckpt_dir)
+        except FileNotFoundError:
+            return
+        for n in names:
+            stem = n.split(".", 1)[0]
+            try:
+                ver = int(stem)
+            except ValueError:
+                continue
+            if ver < upto:  # keep previous + current snapshots
+                try:
+                    os.unlink(os.path.join(self.ckpt_dir, n))
+                except OSError:
+                    pass
 
     def _mutate(self, prepare: Callable[[dict], list[dict]]) -> None:
         """Optimistic-concurrency loop: load fresh state, validate and
@@ -270,6 +354,8 @@ class TableMetastore:
                     f"no metastore at {self.meta_dir} (create() first)"
                 )
             actions = prepare(state)
+            if not actions:  # validated no-op: don't burn a version
+                return
             v = state["version"] + 1
             try:
                 self._put_if_absent(
@@ -289,6 +375,8 @@ class TableMetastore:
 
     # -- creation / load ---------------------------------------------------
     def create(self, config: IndexConfig) -> None:
+        if self.exists():  # commit 0 may have been pruned — check state
+            raise FileExistsError(self.meta_dir)
         os.makedirs(self.log_dir, exist_ok=True)
         try:
             self._put_if_absent(
@@ -303,7 +391,12 @@ class TableMetastore:
             raise FileExistsError(self._commit_path(0))
 
     def exists(self) -> bool:
-        return os.path.exists(self._commit_path(0))
+        # any retained commit or a checkpoint pointer means the index
+        # exists (commit 0 itself may have been pruned past retention)
+        return (
+            os.path.exists(self.last_ckpt_path)
+            or self._latest_version() >= 0
+        )
 
     def state_token(self) -> Any:
         """Changes whenever any split mutation lands (Searcher cache
@@ -341,6 +434,22 @@ class TableMetastore:
         return os.path.join(self.ckpt_dir, f"{v:0{_PAD}d}.splits.parquet")
 
     # -- mutations (optimistic concurrency via version CAS) -------------
+    def allocate_split_ids(self, n: int) -> list[str]:
+        """Reserve ``n`` contiguous split ids through the commit CAS —
+        concurrent build/merge/demux writers each get a disjoint id
+        block (the serialization PostgreSQL transactions give the
+        reference); ids of runs that crash before staging are burnt."""
+        if n <= 0:
+            raise ValueError("n must be positive")
+        got: dict[str, int] = {}
+
+        def prepare(state: dict) -> list[dict]:
+            got["base"] = _next_id(state)  # re-computed on CAS retry
+            return [{"alloc": n}]
+
+        self._mutate(prepare)
+        return [str(got["base"] + i) for i in range(n)]
+
     def stage_splits(self, metas: list[SplitMetadata]) -> None:
         """Same semantics as the file-backed metastore: re-staging a
         leftover Staged split supersedes it (crash-resume path);

@@ -205,11 +205,94 @@ def test_checkpoint_fold_equals_full_replay(tmp_path):
         m.publish_splits([sid])
     assert os.path.exists(m.last_ckpt_path)
     folded = m._load_state()
-    # replay the raw log from scratch, ignoring the snapshot
-    fresh = TableMetastore(index_dir)
-    os.remove(m.last_ckpt_path)
-    replayed = fresh._load_state()
+    # a reader still holding the PREVIOUS checkpoint pointer (the
+    # retention grace case) must fold to the same state
+    ckpts = sorted(
+        int(n.split(".", 1)[0])
+        for n in os.listdir(m.ckpt_dir)
+        if n.endswith(".state.json")
+    )
+    with open(m.last_ckpt_path, "w") as f:
+        json.dump({"version": ckpts[0]}, f)
+    replayed = TableMetastore(index_dir)._load_state()
     assert folded == replayed
+
+
+def test_log_pruning_bounds_listing_but_keeps_state(tmp_path):
+    index_dir = str(tmp_path / "idx")
+    m = TableMetastore(index_dir)
+    m.create(webpages_config())
+    n_mut = 2 * m.CHECKPOINT_INTERVAL + 2  # cross two snapshot points
+    for i in range(n_mut):
+        m.stage_splits([meta(str(i))])
+    # second checkpoint pruned everything <= first checkpoint version
+    assert not os.path.exists(m._commit_path(0))
+    retained = len(os.listdir(m.log_dir))
+    assert retained <= m.CHECKPOINT_INTERVAL + 2
+    # state fully intact from snapshot + retained tail
+    assert m.exists()
+    assert m.config().to_dict() == webpages_config().to_dict()
+    assert len(m.splits()) == n_mut
+    with pytest.raises(FileExistsError):
+        m.create(webpages_config())  # pruned commit 0 can't be re-taken
+
+
+def test_noop_mutation_burns_no_version(tmp_path):
+    index_dir = str(tmp_path / "idx")
+    m = TableMetastore(index_dir)
+    m.create(webpages_config())
+    v = m.state_token()
+    m.mark_for_deletion(["does-not-exist"])
+    assert m.state_token() == v
+
+
+@pytest.mark.parametrize("backend", BACKENDS)
+def test_allocate_split_ids_contiguous_and_disjoint(backend, tmp_path):
+    m = make_ms(backend, str(tmp_path / "idx"))
+    m.create(webpages_config())
+    a = m.allocate_split_ids(3)
+    b = m.allocate_split_ids(2)
+    assert a == ["0", "1", "2"] and b == ["3", "4"]
+    # ids of a crashed (never-staged) run stay burnt
+    c = m.allocate_split_ids(1)
+    assert c == ["5"]
+    # directly-staged ids are accounted for
+    m.stage_splits([meta("9")])
+    assert m.allocate_split_ids(1) == ["10"]
+    with pytest.raises(ValueError):
+        m.allocate_split_ids(0)
+
+
+def _alloc_worker(index_dir: str, wid: int, n_rounds: int, q) -> None:
+    try:
+        m = TableMetastore(index_dir)
+        got = []
+        for _ in range(n_rounds):
+            got.extend(m.allocate_split_ids(3))
+        q.put((wid, None, got))
+    except BaseException as e:
+        q.put((wid, repr(e), []))
+
+
+def test_concurrent_allocation_is_globally_disjoint(tmp_path):
+    index_dir = str(tmp_path / "idx")
+    m = TableMetastore(index_dir)
+    m.create(webpages_config())
+    nw, rounds = 4, 5
+    ctx = mp.get_context("fork")
+    q = ctx.Queue()
+    procs = [
+        ctx.Process(target=_alloc_worker, args=(index_dir, w, rounds, q))
+        for w in range(nw)
+    ]
+    for p in procs:
+        p.start()
+    results = [q.get(timeout=120) for _ in procs]
+    for p in procs:
+        p.join(timeout=30)
+    assert all(e is None for _, e, _ in results), results
+    all_ids = [i for _, _, got in results for i in got]
+    assert len(all_ids) == len(set(all_ids)) == nw * rounds * 3
 
 
 def test_splits_parquet_checkpoint_is_queryable(tmp_path):
