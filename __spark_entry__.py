@@ -416,6 +416,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_id", "fingerprint"
     )
 
+    def repetition_signals(spark, sf_dir):
+        # the synthetic corpus has no repeated 5-grams; append a
+        # looping tail to 1/4 of docs (mirrored verbatim in the
+        # oracle) so the dup-5gram signal fires on real repeats,
+        # not empty-vs-empty
+        d = _docs(spark, sf_dir).withColumn(
+            "text",
+            F.when(
+                F.col("doc_id") % 4 == 0,
+                F.concat(F.col("text"), F.lit(" spam loop" * 8)),
+            ).otherwise(F.col("text")),
+        )
+        return textstats.with_repetition_signals(d).select(
+            "doc_id",
+            "n_tokens",
+            "rep_top_2gram_frac",
+            "rep_top_3gram_frac",
+            "rep_dup_5gram_frac",
+            "rep_dup_token_frac",
+        )
+
+    q["repetition_signals"] = repetition_signals
+
     def pii_scrub(spark, sf_dir):
         from quickwit_spark.functions.pii import with_pii_scrub
 
@@ -826,6 +849,35 @@ SELECT doc_id, n_tokens, n_distinct, n_stopwords,
       + 0.3 * (CASE WHEN n_tokens > 0 THEN CAST(n_stopwords AS DOUBLE) / n_tokens ELSE 0 END),
     6) AS quality
 FROM per
+"""
+
+    spam_tail = " spam loop" * 8
+    o["repetition_signals"] = rf"""
+WITH aug AS (
+  SELECT doc_id,
+    CASE WHEN doc_id % 4 = 0 THEN text || '{spam_tail}' ELSE text END AS text
+  FROM documents
+),
+base AS (
+  -- textstats tokens_col: ASCII alnum split (textstats.py:32)
+  SELECT doc_id,
+    list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '') AS toks
+  FROM aug
+),
+g AS (
+  SELECT doc_id, toks,
+    list_transform(generate_series(1, len(toks) - 1), i -> array_to_string(toks[i:i+1], ' ')) AS g2,
+    list_transform(generate_series(1, len(toks) - 2), i -> array_to_string(toks[i:i+2], ' ')) AS g3,
+    list_transform(generate_series(1, len(toks) - 4), i -> array_to_string(toks[i:i+4], ' ')) AS g5
+  FROM base
+)
+SELECT doc_id,
+  len(toks) AS n_tokens,
+  CASE WHEN len(g2) > 0 THEN CAST(list_max(map_values(list_aggregate(g2, 'histogram'))) AS DOUBLE) / len(g2) ELSE 0.0 END AS rep_top_2gram_frac,
+  CASE WHEN len(g3) > 0 THEN CAST(list_max(map_values(list_aggregate(g3, 'histogram'))) AS DOUBLE) / len(g3) ELSE 0.0 END AS rep_top_3gram_frac,
+  CASE WHEN len(g5) > 0 THEN CAST(len(g5) - len(list_distinct(g5)) AS DOUBLE) / len(g5) ELSE 0.0 END AS rep_dup_5gram_frac,
+  CASE WHEN len(toks) > 0 THEN CAST(len(toks) - len(list_distinct(toks)) AS DOUBLE) / len(toks) ELSE 0.0 END AS rep_dup_token_frac
+FROM g
 """
 
     o["fingerprint"] = _with(_TOKS_CTE) + """

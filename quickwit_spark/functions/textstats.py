@@ -95,3 +95,76 @@ def with_fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
     insensitive doc identity."""
     normalized = F.array_join(tokens_col(F.col(text_col)), " ")
     return df.withColumn("fingerprint", F.md5(normalized))
+
+
+def _word_ngrams(toks: Column, n: int) -> Column:
+    """Word n-grams as space-joined strings (tokens are alnum-only,
+    so the join is unambiguous). Empty array when the doc has fewer
+    than ``n`` tokens."""
+    if n == 1:
+        return toks
+    idx = F.sequence(F.lit(1), F.size(toks) - (n - 1))
+    grams = F.transform(idx, lambda i: F.array_join(F.slice(toks, i, n), " "))
+    return F.when(F.size(toks) >= n, grams).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def _top_run_count(arr: Column) -> Column:
+    """Occurrences of the most frequent element, computed as the
+    longest equal-run of the SORTED array via a single expression
+    fold — per-row, map-side, no explode/groupBy shuffle. 0 for an
+    empty array."""
+    state0 = F.struct(
+        F.lit("").alias("prev"),
+        F.lit(0).alias("run"),
+        F.lit(0).alias("best"),
+    )
+
+    def step(acc: Column, g: Column) -> Column:
+        run = F.when(g == acc["prev"], acc["run"] + 1).otherwise(F.lit(1))
+        return F.struct(
+            g.alias("prev"),
+            run.alias("run"),
+            F.greatest(acc["best"], run).alias("best"),
+        )
+
+    return F.aggregate(F.array_sort(arr), state0, step, lambda acc: acc["best"])
+
+
+def with_repetition_signals(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Repetition-based quality signals (the Gopher-rule family,
+    public: Rae et al. 2021 §A1.1) over the alnum token stream:
+
+    - ``rep_top_2gram_frac`` / ``rep_top_3gram_frac``: occurrences of
+      the most frequent word 2-/3-gram over total 2-/3-grams — high
+      values flag boilerplate / template spam;
+    - ``rep_dup_5gram_frac``: fraction of 5-gram occurrences that are
+      repeats (1 - distinct/total) — flags looping generators;
+    - ``rep_dup_token_frac``: 1 - distinct tokens / total tokens.
+
+    Everything is a per-row JVM expression (sorted-array fold for the
+    top count) — the operator is shuffle-free and costs one map pass
+    at any corpus size. Fractions are exact IEEE divisions of small
+    ints (bit-reproducible vs the SQL oracle). Reference scope note:
+    the reference engine indexes but does not curate; these extend
+    the corpus-curation tier alongside quality_score.
+    """
+    toks = tokens_col(F.col(text_col))
+    out = df.withColumn("n_tokens", F.size(toks))
+
+    def frac(num: Column, den: Column) -> Column:
+        return F.when(den > 0, num.cast("double") / den).otherwise(F.lit(0.0))
+
+    for n, name in ((2, "rep_top_2gram_frac"), (3, "rep_top_3gram_frac")):
+        grams = _word_ngrams(toks, n)
+        out = out.withColumn(name, frac(_top_run_count(grams), F.size(grams)))
+    g5 = _word_ngrams(toks, 5)
+    out = out.withColumn(
+        "rep_dup_5gram_frac",
+        frac(F.size(g5) - F.size(F.array_distinct(g5)), F.size(g5)),
+    )
+    return out.withColumn(
+        "rep_dup_token_frac",
+        frac(F.size(toks) - F.size(F.array_distinct(toks)), F.size(toks)),
+    )

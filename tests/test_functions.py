@@ -559,3 +559,65 @@ def test_ivf_assign_matmul_matches_expression_fold(spark):
         .toString()
     )
     assert "Exchange" not in plan
+
+
+def test_repetition_signals_exact_fractions(spark):
+    from quickwit_spark.functions.textstats import with_repetition_signals
+
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": [0, 1, 2, 3],
+                "text": [
+                    # 6 tokens, top bigram "a b" x3 of 5 bigrams,
+                    # top trigram "a b a" x2 of 4, dup tokens 6-2=4
+                    "a b a b a b",
+                    # no repetition at all: 5 distinct tokens
+                    "one two three four five",
+                    # 10 tokens of one word: every gram identical
+                    "x x x x x x x x x x",
+                    "",  # empty: all zero, no div-by-zero
+                ],
+            }
+        )
+    )
+    rows = {
+        r["doc_id"]: r
+        for r in with_repetition_signals(df).collect()
+    }
+    r0 = rows[0]
+    assert r0["n_tokens"] == 6
+    assert r0["rep_top_2gram_frac"] == pytest.approx(3 / 5)
+    assert r0["rep_top_3gram_frac"] == pytest.approx(2 / 4)
+    # 5-grams: "a b a b a", "b a b a b" — 2 distinct of 2 → no dup
+    assert r0["rep_dup_5gram_frac"] == 0.0
+    assert r0["rep_dup_token_frac"] == pytest.approx(4 / 6)
+    r1 = rows[1]
+    assert r1["rep_top_2gram_frac"] == pytest.approx(1 / 4)
+    assert r1["rep_dup_5gram_frac"] == 0.0
+    assert r1["rep_dup_token_frac"] == 0.0
+    r2 = rows[2]
+    assert r2["rep_top_2gram_frac"] == 1.0
+    assert r2["rep_top_3gram_frac"] == 1.0
+    # 6 identical 5-grams: 5 of 6 occurrences are repeats
+    assert r2["rep_dup_5gram_frac"] == pytest.approx(5 / 6)
+    r3 = rows[3]
+    assert r3["n_tokens"] == 0
+    for c in (
+        "rep_top_2gram_frac",
+        "rep_top_3gram_frac",
+        "rep_dup_5gram_frac",
+        "rep_dup_token_frac",
+    ):
+        assert rows[3][c] == 0.0
+
+
+def test_repetition_signals_shuffle_free_plan(spark):
+    from quickwit_spark.functions.textstats import with_repetition_signals
+
+    df = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [0], "text": ["a b c a b"]})
+    )
+    plan = with_repetition_signals(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan  # per-row expressions only
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
