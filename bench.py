@@ -53,6 +53,34 @@ def p50(fn, runs: int = 5) -> float:
     return statistics.median(times)
 
 
+def ambient_sample() -> dict:
+    """Host-noise telemetry riding along with the numbers: hypervisor
+    steal% over 1s and fresh-page fault-in MB/s (host memory reclaim
+    serves pages at ~10-100 MB/s during bad periods vs multi-GB/s
+    healthy — see BENCH.md). Lets a reader tell a regression from a
+    polluted window."""
+    import numpy as np
+
+    def snap():
+        with open("/proc/stat") as f:
+            return [int(x) for x in f.readline().split()[1:]]
+
+    try:
+        a = snap()
+        time.sleep(1.0)
+        b = snap()
+        d = [y - x for x, y in zip(a, b)]
+        steal = round(100.0 * d[7] / max(sum(d), 1), 2)
+        t0 = time.time()
+        buf = np.empty(64 * 1024 * 1024, dtype=np.uint8)
+        buf[::4096] = 1
+        fault_in = int(64 / (time.time() - t0))
+        del buf
+        return {"steal_pct": steal, "fault_in_mb_s": fault_in}
+    except OSError:  # non-Linux /proc — telemetry is best-effort
+        return {}
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS")
@@ -73,6 +101,7 @@ def main() -> None:
             "overwrite"
         ).parquet(corpus_dir)
         pages = with_extracted_text(spark.read.parquet(corpus_dir))
+        ambient_pre = ambient_sample()
         t0 = time.time()
         metas = build_index(
             spark, pages, index_dir, webpages_config(), num_splits=8
@@ -132,6 +161,8 @@ def main() -> None:
                     "build_docs_per_sec": round(built_docs / build_secs, 1),
                     "built_docs": built_docs,
                     "cpus": cpus or "all",
+                    "ambient_pre_build": ambient_pre,
+                    "ambient_post": ambient_sample(),
                 }
             )
         )
