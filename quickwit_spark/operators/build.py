@@ -13,16 +13,24 @@ Shape of the job (all declarative until the final encode UDF):
    by key)``: deterministic, reproducible tie-break key
    ``(split_id, doc_id)`` (reference global sort key lib.rs:99-104).
 3. tokenize JVM-side (``split``/``lower``/``filter`` — whole-stage
-   codegen; zero Python) → ``posexplode`` for positions.
-4. per-(split, term, doc) tf aggregation — Spark partial+final hash
-   agg (map-side combine shrinks the shuffle).
-5. posting encode — ``applyInArrow`` over ``(split_id, bucket)``
-   groups (bucket = hash of term) where numpy delta-gap + varbyte
-   encodes each term's posting list with per-block skip data.
-   Optionally two-phase with doc-range salting for hot terms
-   (``salt_chunk``): partial encodes per (term, doc-chunk) are
-   re-merged by concatenation + re-gapping — the north_rule's
-   explicit skew handling.
+   codegen; zero Python).
+4. posting encode, map-side by default (``encode_mode="mapside"``):
+   each doc partition is exploded to token rows INSIDE the Arrow task
+   and encoded into compressed partial posting lists (delta-gap +
+   varbyte) covering that partition's contiguous doc ranges — the
+   tokens never hit the shuffle. Only the partials (~10-20x smaller)
+   are exchanged to ``(split_id, term-bucket)`` groups and
+   concatenation-merged with fresh per-block skip data. This is the
+   reference's own build shape (tantivy encodes each segment from
+   local docs in RAM, indexer.rs; merging is a separate stage) and
+   inherently spreads hot-term work across every doc partition.
+   ``encode_mode="shuffle"`` keeps the raw-token exchange (one
+   ``applyInArrow`` over ``(split_id, bucket)`` groups), optionally
+   two-phase with doc-range salting for hot terms (``salt_chunk``):
+   partial encodes per (term, doc-chunk) are re-merged by
+   concatenation + re-gapping — the north_rule's explicit skew
+   handling. Both modes are bit-identical
+   (tests/test_build_search.py::test_mapside_encode_bit_identical...).
 6. stats + tags per split (min/max timestamp, exact token totals,
    ``collect_set`` tags under the ≤1000 cardinality guard of
    packager.rs:36-40) → staged + atomically published to the
@@ -53,8 +61,22 @@ POSTINGS_SCHEMA = (
     "doc_bytes binary, tf_bytes binary, skip_bytes binary, pos_bytes binary"
 )
 
+# map-side partial posting rows: no skip table (only valid on the
+# final concatenated list) but the absolute first doc id, which the
+# merge stage sorts partials by before concatenating
+PARTIALS_SCHEMA = (
+    "split_id int, field string, term string, doc_freq long, total_tf long, "
+    "first_doc long, doc_bytes binary, tf_bytes binary, pos_bytes binary"
+)
 
-def _make_token_encoder(field_names: list[str], pos_fields: frozenset):
+
+def _make_token_encoder(
+    field_names: list[str],
+    pos_fields: frozenset,
+    *,
+    emit_first_doc: bool = False,
+    with_skip: bool = True,
+):
     """Token-level batch encoder: raw (field_id, term, doc_id, pos)
     rows → one encoded posting row per (field, term).
 
@@ -80,19 +102,20 @@ def _make_token_encoder(field_names: list[str], pos_fields: frozenset):
         [i for i, f in enumerate(field_names) if f in pos_fields],
         dtype=np.int8,
     )
-    out_schema = pa.schema(
-        [
-            ("split_id", pa.int32()),
-            ("field", pa.string()),
-            ("term", pa.string()),
-            ("doc_freq", pa.int64()),
-            ("total_tf", pa.int64()),
-            ("doc_bytes", pa.binary()),
-            ("tf_bytes", pa.binary()),
-            ("skip_bytes", pa.binary()),
-            ("pos_bytes", pa.binary()),
-        ]
-    )
+    head = [
+        ("split_id", pa.int32()),
+        ("field", pa.string()),
+        ("term", pa.string()),
+        ("doc_freq", pa.int64()),
+        ("total_tf", pa.int64()),
+    ]
+    if emit_first_doc:
+        head.append(("first_doc", pa.int64()))
+    tail = [("doc_bytes", pa.binary()), ("tf_bytes", pa.binary())]
+    if with_skip:
+        tail.append(("skip_bytes", pa.binary()))
+    tail.append(("pos_bytes", pa.binary()))
+    out_schema = pa.schema(head + tail)
 
     def _bin_from_slices(cum: np.ndarray, starts, ends, stream) -> pa.Array:
         """Nullable-free binary array whose i-th cell is
@@ -165,21 +188,26 @@ def _make_token_encoder(field_names: list[str], pos_fields: frozenset):
         tf_cum = np.concatenate(([0], np.cumsum(tf_lens)))
 
         # ---- skip tables for all terms' blocks at once ----
-        n_per = ends_td - starts_td
-        reps = -(-n_per // BLOCK_SIZE)
-        first_block = np.concatenate(([0], np.cumsum(reps)))
-        total_blocks = int(first_block[-1])
-        term_of_block = np.repeat(np.arange(T), reps)
-        block_ord = np.arange(total_blocks) - first_block[:-1][term_of_block]
-        block_lo = starts_td[term_of_block] + block_ord * BLOCK_SIZE
-        block_hi = np.minimum(block_lo + BLOCK_SIZE, ends_td[term_of_block])
-        skip = np.empty((total_blocks, 5), dtype="<u4")
-        skip[:, 0] = docs_u[block_hi - 1]
-        skip[:, 1] = np.maximum.reduceat(tfs, block_lo)
-        skip[:, 2] = doc_cum[block_lo] - doc_cum[starts_td[term_of_block]]
-        skip[:, 3] = tf_cum[block_lo] - tf_cum[starts_td[term_of_block]]
-        skip[:, 4] = block_hi - block_lo
-        skip_bytes_all = skip.tobytes()  # 20 bytes per block row
+        if with_skip:
+            n_per = ends_td - starts_td
+            reps = -(-n_per // BLOCK_SIZE)
+            first_block = np.concatenate(([0], np.cumsum(reps)))
+            term_of_block = np.repeat(np.arange(T), reps)
+            total_blocks = int(first_block[-1])
+            block_ord = (
+                np.arange(total_blocks) - first_block[:-1][term_of_block]
+            )
+            block_lo = starts_td[term_of_block] + block_ord * BLOCK_SIZE
+            block_hi = np.minimum(
+                block_lo + BLOCK_SIZE, ends_td[term_of_block]
+            )
+            skip = np.empty((total_blocks, 5), dtype="<u4")
+            skip[:, 0] = docs_u[block_hi - 1]
+            skip[:, 1] = np.maximum.reduceat(tfs, block_lo)
+            skip[:, 2] = doc_cum[block_lo] - doc_cum[starts_td[term_of_block]]
+            skip[:, 3] = tf_cum[block_lo] - tf_cum[starts_td[term_of_block]]
+            skip[:, 4] = block_hi - block_lo
+            skip_bytes_all = skip.tobytes()  # 20 bytes per block row
 
         # ---- positions stream (rows of position-record fields) ----
         mask_pos = (
@@ -204,8 +232,6 @@ def _make_token_encoder(field_names: list[str], pos_fields: frozenset):
         # position fields sort first (field_id order), so per-term pos
         # slices are contiguous; non-pos terms get an empty slice but
         # are masked null via the validity bitmap
-        skip_cum = first_block.astype(np.int32) * 20
-        tidx = np.arange(T, dtype=np.int64)
         valid = (
             mask_pos[row_starts]
             if mask_pos is not None
@@ -229,20 +255,324 @@ def _make_token_encoder(field_names: list[str], pos_fields: frozenset):
             pa.array(fid[row_starts], type=pa.int8()),
         )
         term_arr = pc.take(vocab, pa.array(tcodes[row_starts]))
+        cols = {
+            "split_id": pa.array(
+                np.full(T, split_id, dtype=np.int32), type=pa.int32()
+            ),
+            "field": field_arr,
+            "term": term_arr,
+            "doc_freq": pa.array(ends_td - starts_td, type=pa.int64()),
+            "total_tf": pa.array(row_ends - row_starts, type=pa.int64()),
+        }
+        if emit_first_doc:
+            cols["first_doc"] = pa.array(
+                docs_u[starts_td].astype(np.int64), type=pa.int64()
+            )
+        cols["doc_bytes"] = _bin_from_slices(
+            doc_cum, starts_td, ends_td, doc_stream
+        )
+        cols["tf_bytes"] = _bin_from_slices(
+            tf_cum, starts_td, ends_td, tf_stream
+        )
+        if with_skip:
+            skip_cum = first_block.astype(np.int32) * 20
+            tidx = np.arange(T, dtype=np.int64)
+            cols["skip_bytes"] = _bin_from_slices(
+                skip_cum, tidx, tidx + 1, skip_bytes_all
+            )
+        cols["pos_bytes"] = pos_arr
+        return pa.table(cols, schema=out_schema)
+
+    return encode
+
+
+def _make_partial_mapper(
+    field_names: list[str], pos_fields: frozenset, toks_cols: list[str]
+):
+    """``mapInArrow`` body for the map-side encode: each Arrow batch of
+    ``(split_id, doc_id, toks_*)`` rows is exploded to token rows IN
+    NUMPY (list-offsets arithmetic, no Spark ``posexplode``) and run
+    through the token encoder, yielding PARTIAL posting rows — the
+    token rows never leave the task.
+
+    Correctness precondition (guaranteed by both doc-id assignment
+    modes, which sort partitions by ``(.., split_id, order_cols)``):
+    within a batch, each contiguous run of one ``split_id`` carries
+    strictly ascending doc ids, and runs from different batches /
+    partitions cover disjoint doc ranges. The merge stage re-checks
+    monotonicity after concatenation and fails loudly.
+
+    This is the reference's actual build shape — tantivy builds each
+    segment's postings in memory from local docs, merge happens later
+    (indexer.rs + merge_executor.rs) — and it removes the raw-token
+    exchange entirely: only delta+varbyte-compressed partials (~10-20x
+    smaller, no per-row shuffle overhead) hit the wire.
+    """
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    encode = _make_token_encoder(
+        field_names, pos_fields, emit_first_doc=True, with_skip=False
+    )
+
+    def mapper(batches):
+        for batch in batches:
+            n = batch.num_rows
+            if n == 0:
+                continue
+            sid = batch.column("split_id").to_numpy()
+            doc_ids = batch.column("doc_id").to_numpy()
+            # break at split changes AND at doc-id discontinuities: a
+            # partition can hold several non-adjacent contiguous slices
+            # of one split (twophase mode hashes (range-chunk, split)
+            # groups — two chunks of a split may share a partition with
+            # another split's chunk between their doc ranges). Each
+            # emitted partial must cover ONE contiguous doc range or
+            # partial ranges from different partitions would interleave
+            # and concatenation-merge would be wrong (doc ids are dense
+            # per split by construction, so a gap == a slice boundary).
+            brk = (sid[1:] != sid[:-1]) | (doc_ids[1:] != doc_ids[:-1] + 1)
+            bounds = np.concatenate(([0], np.flatnonzero(brk) + 1, [n]))
+            for k in range(bounds.size - 1):
+                s, e = int(bounds[k]), int(bounds[k + 1])
+                parts = []
+                for i, tcname in enumerate(toks_cols):
+                    lst = batch.column(tcname).slice(s, e - s)
+                    lens = pc.list_value_length(lst).fill_null(0).to_numpy(
+                        zero_copy_only=False
+                    ).astype(np.int64)
+                    total = int(lens.sum())
+                    if total == 0:
+                        continue
+                    terms = pc.list_flatten(lst)
+                    drep = np.repeat(doc_ids[s:e], lens)
+                    starts = np.cumsum(lens) - lens
+                    pos = np.arange(total, dtype=np.int64) - np.repeat(
+                        starts, lens
+                    )
+                    parts.append(
+                        pa.table(
+                            {
+                                "split_id": pa.array(
+                                    np.full(total, sid[s], dtype=np.int32),
+                                    type=pa.int32(),
+                                ),
+                                "field_id": pa.array(
+                                    np.full(total, i, dtype=np.int8),
+                                    type=pa.int8(),
+                                ),
+                                "term": terms,
+                                "doc_id": pa.array(drep, type=pa.int64()),
+                                "pos": pa.array(pos, type=pa.int64()),
+                            }
+                        )
+                    )
+                if not parts:
+                    continue
+                out = encode(pa.concat_tables(parts))
+                yield from out.to_batches()
+
+    return mapper
+
+
+def _flat_binary(arr):
+    """(offsets, values) numpy views of a contiguous pa.BinaryArray,
+    normalized so offsets[0] == 0 (values sliced to the array's own
+    span). Null cells contribute zero-length slices."""
+    off = np.frombuffer(arr.buffers()[1], dtype=np.int32)[
+        arr.offset : arr.offset + len(arr) + 1
+    ]
+    buf = arr.buffers()[2]
+    val = (
+        np.frombuffer(buf, dtype=np.uint8)
+        if buf is not None
+        else np.empty(0, dtype=np.uint8)
+    )
+    return off - off[0], val[off[0] : off[-1]]
+
+
+def _make_partial_merger(field_names: list[str]):
+    """``applyInArrow`` body over ``(split_id, bucket)`` groups of
+    PARTIAL rows: vectorized k-way concatenation. Partials of one
+    (field, term) cover disjoint ascending doc ranges, so sorting rows
+    by ``first_doc`` and concatenating IS the merge; only the doc-gap
+    stream needs re-encoding (the first gap of each non-first partial
+    turns absolute→relative), tf entries are value-independent, and
+    position streams restart absolute at every doc — both concatenate
+    verbatim via Arrow ``take`` (one C++ memcpy, no per-term Python).
+    Skip tables are built fresh on the final entry layout.
+    """
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from quickwit_spark.operators.codec import (
+        BLOCK_SIZE,
+        _varbyte_lengths,
+        varbyte_decode,
+        varbyte_encode,
+    )
+
+    out_schema = pa.schema(
+        [
+            ("split_id", pa.int32()),
+            ("field", pa.string()),
+            ("term", pa.string()),
+            ("doc_freq", pa.int64()),
+            ("total_tf", pa.int64()),
+            ("doc_bytes", pa.binary()),
+            ("tf_bytes", pa.binary()),
+            ("skip_bytes", pa.binary()),
+            ("pos_bytes", pa.binary()),
+        ]
+    )
+
+    def _bin_from_slices(cum, starts, ends, stream):
+        offsets = np.empty(starts.size + 1, dtype=np.int32)
+        offsets[:-1] = cum[starts]
+        offsets[-1] = cum[ends[-1]] if ends.size else 0
+        return pa.Array.from_buffers(
+            pa.binary(),
+            starts.size,
+            [None, pa.py_buffer(offsets), pa.py_buffer(stream)],
+        )
+
+    def merge(tbl: "pa.Table") -> "pa.Table":
+        n = tbl.num_rows
+        if n == 0:
+            return out_schema.empty_table()
+        split_id = tbl.column("split_id")[0].as_py()
+        fc_ = pc.dictionary_encode(tbl.column("field").combine_chunks())
+        fcodes = fc_.indices.to_numpy()
+        fvocab = fc_.dictionary
+        forder = pc.sort_indices(fvocab).to_numpy()
+        frank = np.empty(forder.size, dtype=np.int32)
+        frank[forder] = np.arange(forder.size, dtype=np.int32)
+        tc = pc.dictionary_encode(tbl.column("term").combine_chunks())
+        codes = tc.indices.to_numpy()
+        vocab = tc.dictionary
+        vorder = pc.sort_indices(vocab).to_numpy()
+        vrank = np.empty(vorder.size, dtype=np.int32)
+        vrank[vorder] = np.arange(vorder.size, dtype=np.int32)
+        first = tbl.column("first_doc").to_numpy()
+
+        order = np.lexsort((first, vrank[codes], frank[fcodes]))
+        o_codes = codes[order]
+        o_fc = fcodes[order]
+        dfreq = tbl.column("doc_freq").to_numpy()[order]
+        ttf = tbl.column("total_tf").to_numpy()[order]
+        oidx = pa.array(order)
+        docb = pc.take(tbl.column("doc_bytes").combine_chunks(), oidx)
+        tfb = pc.take(tbl.column("tf_bytes").combine_chunks(), oidx)
+        posb = pc.take(tbl.column("pos_bytes").combine_chunks(), oidx)
+
+        d_off, d_val = _flat_binary(docb)
+        gaps = varbyte_decode(d_val)
+        row_ent = np.concatenate(([0], np.cumsum(dfreq)))
+        if gaps.size != row_ent[-1]:
+            raise ValueError(
+                f"partial doc streams decode to {gaps.size} entries, "
+                f"doc_freq sums to {row_ent[-1]}"
+            )
+        # absolute doc ids: each row's stream starts absolute, rest are
+        # gaps — cumsum reset at row boundaries
+        cums = np.cumsum(gaps)
+        base = (cums - gaps)[row_ent[:-1]]
+        docs_u = cums - np.repeat(base, dfreq)
+
+        t_off, t_val = _flat_binary(tfb)
+        tfs = varbyte_decode(t_val, count=int(row_ent[-1]))
+
+        # term segments in row space and entry space
+        new_term = np.ones(n, dtype=bool)
+        new_term[1:] = (o_codes[1:] != o_codes[:-1]) | (o_fc[1:] != o_fc[:-1])
+        starts_row = np.flatnonzero(new_term)
+        ends_row = np.append(starts_row[1:], n)
+        starts_td = row_ent[starts_row]
+        ends_td = row_ent[ends_row]
+        T = starts_row.size
+        total = int(row_ent[-1])
+
+        # partials must tile each term's doc space disjointly
+        is_start = np.zeros(total, dtype=bool)
+        is_start[starts_td] = True
+        bad = (~is_start[1:]) & (docs_u[1:] <= docs_u[:-1])
+        if bad.any():
+            i = int(np.flatnonzero(bad)[0])
+            raise ValueError(
+                "partial postings interleave in doc space at entry "
+                f"{i + 1} (doc {int(docs_u[i + 1])} after {int(docs_u[i])})"
+                " — doc-id partitioning violated the contiguity invariant"
+            )
+
+        # ---- re-gap + encode doc stream; tf stream concatenates but
+        #      is re-encoded anyway to share the cum-length bookkeeping
+        gaps2 = docs_u.copy()
+        gaps2[1:] = docs_u[1:] - docs_u[:-1]
+        gaps2[starts_td] = docs_u[starts_td]
+        doc_lens = _varbyte_lengths(gaps2)
+        doc_stream = varbyte_encode(gaps2)
+        doc_cum = np.concatenate(([0], np.cumsum(doc_lens)))
+        tf_lens = _varbyte_lengths(tfs)
+        tf_cum = np.concatenate(([0], np.cumsum(tf_lens)))
+
+        # ---- skip tables on the merged layout ----
+        n_per = ends_td - starts_td
+        reps = -(-n_per // BLOCK_SIZE)
+        first_block = np.concatenate(([0], np.cumsum(reps)))
+        term_of_block = np.repeat(np.arange(T), reps)
+        total_blocks = int(first_block[-1])
+        block_ord = np.arange(total_blocks) - first_block[:-1][term_of_block]
+        block_lo = starts_td[term_of_block] + block_ord * BLOCK_SIZE
+        block_hi = np.minimum(block_lo + BLOCK_SIZE, ends_td[term_of_block])
+        skip = np.empty((total_blocks, 5), dtype="<u4")
+        skip[:, 0] = docs_u[block_hi - 1]
+        skip[:, 1] = np.maximum.reduceat(tfs, block_lo)
+        skip[:, 2] = doc_cum[block_lo] - doc_cum[starts_td[term_of_block]]
+        skip[:, 3] = tf_cum[block_lo] - tf_cum[starts_td[term_of_block]]
+        skip[:, 4] = block_hi - block_lo
+        skip_bytes_all = skip.tobytes()
+        skip_cum = first_block.astype(np.int32) * 20
+        tidx = np.arange(T, dtype=np.int64)
+
+        # ---- positions: pure byte concatenation (absolute restart at
+        #      every doc), term cells = row-range slices of the taken
+        #      stream ----
+        p_off, p_val = _flat_binary(posb)
+        valid_rows = posb.is_valid().to_numpy(zero_copy_only=False)
+        term_valid = valid_rows[starts_row]
+        pos_off_out = np.empty(T + 1, dtype=np.int32)
+        pos_off_out[:-1] = p_off[starts_row]
+        pos_off_out[-1] = p_off[-1]
+        pos_arr = pa.Array.from_buffers(
+            pa.binary(),
+            T,
+            [
+                pa.py_buffer(np.packbits(term_valid, bitorder="little")),
+                pa.py_buffer(pos_off_out),
+                pa.py_buffer(p_val),
+            ],
+            null_count=int(T - term_valid.sum()),
+        )
+
         return pa.table(
             {
                 "split_id": pa.array(
                     np.full(T, split_id, dtype=np.int32), type=pa.int32()
                 ),
-                "field": field_arr,
-                "term": term_arr,
-                "doc_freq": pa.array(ends_td - starts_td, type=pa.int64()),
-                "total_tf": pa.array(row_ends - row_starts, type=pa.int64()),
+                "field": pc.take(fvocab, pa.array(o_fc[starts_row])),
+                "term": pc.take(vocab, pa.array(o_codes[starts_row])),
+                "doc_freq": pa.array(
+                    (ends_td - starts_td).astype(np.int64), type=pa.int64()
+                ),
+                "total_tf": pa.array(
+                    np.add.reduceat(ttf, starts_row), type=pa.int64()
+                ),
                 "doc_bytes": _bin_from_slices(
                     doc_cum, starts_td, ends_td, doc_stream
                 ),
                 "tf_bytes": _bin_from_slices(
-                    tf_cum, starts_td, ends_td, tf_stream
+                    tf_cum, starts_td, ends_td,
+                    varbyte_encode(tfs),
                 ),
                 "skip_bytes": _bin_from_slices(
                     skip_cum, tidx, tidx + 1, skip_bytes_all
@@ -252,7 +582,7 @@ def _make_token_encoder(field_names: list[str], pos_fields: frozenset):
             schema=out_schema,
         )
 
-    return encode
+    return merge
 
 
 def write_fastfields(ms: Metastore, config: IndexConfig, docmap: DataFrame) -> None:
@@ -361,13 +691,19 @@ def build_index(
     source_id: str = "default",
     term_buckets: int | None = None,
     salt_chunk: int | None = None,
+    encode_mode: str = "mapside",
 ) -> list[SplitMetadata]:
     """Build (or resume building) the index for ``df``.
 
     Returns the SplitMetadata of splits built in THIS invocation.
     ``salt_chunk``: if set, posting construction runs in two phases
     with doc-id-range salting so a hot term's encode is spread over
-    ``num_docs / salt_chunk`` tasks (skew handling).
+    ``num_docs / salt_chunk`` tasks (skew handling; implies the
+    ``shuffle`` encode mode).
+    ``encode_mode``: ``mapside`` (default) encodes partial postings
+    inside each doc partition and shuffles only compressed partials;
+    ``shuffle`` exchanges raw token rows to (split, bucket) groups.
+    Both produce bit-identical postings.
     """
     ms = open_metastore(index_dir, config)
     if not ms.exists():
@@ -410,6 +746,7 @@ def build_index(
         },
         term_buckets=term_buckets,
         salt_chunk=salt_chunk,
+        encode_mode=encode_mode,
     )
 
 
@@ -421,6 +758,7 @@ def add_documents(
     position: str | None = None,
     num_splits: int | None = None,
     term_buckets: int | None = None,
+    encode_mode: str = "mapside",
 ) -> list[SplitMetadata]:
     """Append ``df`` as NEW splits to an existing index — the
     incremental-ingest primitive the streaming path uses per
@@ -465,6 +803,7 @@ def add_documents(
         checkpoint_delta_fn=delta,
         term_buckets=term_buckets,
         salt_chunk=None,
+        encode_mode=encode_mode,
     )
 
 
@@ -567,6 +906,7 @@ def _execute_build(
     checkpoint_delta_fn,
     term_buckets: int,
     salt_chunk: int | None,
+    encode_mode: str = "mapside",
 ) -> list[SplitMetadata]:
     """Shared build core: ``df`` already carries ``split_id``; encode
     postings/docmap/fastfields for the splits in ``todo`` and publish
@@ -705,56 +1045,89 @@ def _execute_build(
         fc.name for fc in config.indexed_fields if fc.record == RECORD_POSITION
     )
     field_names = [fc.name for fc in config.indexed_fields]
-    # field as a tinyint id: shrinks every shuffled token row and
-    # keeps the encoder's sort keys pure ints (strings are restored
-    # from the id on output)
-    # Per-field posexplode + union, NOT a single tagged Generate over
-    # concat(transform(...struct...)): building an array-of-structs per
-    # doc just to explode it costs ~2x the whole build in codegen
-    # allocation (measured 216s vs 111s on the 2M-doc bench; the
-    # struct wrap + array concat materialize every token twice).
-    # posexplode of the raw string arrays is the cheap path. The union
-    # also hides the docs partitioning from Catalyst (union output
-    # partitioning is unknown), which FORCES a token exchange onto the
-    # group keys below — desirable: it breaks the cache-scan + explode
-    # + giant per-split sort fusion and runs the encoder at shuffle
-    # width over compact token rows instead of one task per split.
-    per_field = [
-        docs.select(
-            "split_id",
-            "doc_id",
-            F.lit(i).cast("tinyint").alias("field_id"),
-            F.posexplode(f"toks_{fc.name}").alias("pos", "term"),
+    if encode_mode == "mapside" and not salt_chunk:
+        # ---- map-side partial encode (default): tokens never hit the
+        # wire. Each cached docs partition is exploded IN the Arrow
+        # task and encoded into compressed partial posting rows; only
+        # those partials (~10-20x smaller than raw token rows, no
+        # per-row shuffle overhead) are exchanged, grouped by
+        # (split, term-bucket) and concatenation-merged. This is the
+        # reference's own build shape (tantivy encodes each segment
+        # from local docs, indexer.rs; merges later) and removes the
+        # raw-token exchange + its group-by sort — the dominant
+        # memory-bandwidth cost of the old path at high parallelism.
+        # Hot-term skew is inherently salted: a hot term's work is
+        # spread over every doc partition; the merge of its partials
+        # is a byte concatenation.
+        toks_cols = [f"toks_{fc.name}" for fc in config.indexed_fields]
+        mapper = _make_partial_mapper(field_names, pos_fields, toks_cols)
+        partials = docs.select("split_id", "doc_id", *toks_cols).mapInArrow(
+            mapper, PARTIALS_SCHEMA
         )
-        for i, fc in enumerate(config.indexed_fields)
-    ]
-    tok_rows = per_field[0]
-    for other in per_field[1:]:
-        tok_rows = tok_rows.unionByName(other)
-
-    # optional doc-range salt splits hot terms across tasks
-    if salt_chunk:
-        # each (term, doc-chunk) partial must cover ONE contiguous doc
-        # range so the phase-2 merge can concatenate by first doc
-        tok_rows = tok_rows.withColumn(
-            "chunk", (F.col("doc_id") / F.lit(salt_chunk)).cast("long")
-        ).withColumn(
-            "bucket", F.pmod(F.xxhash64("term", "chunk"), F.lit(term_buckets))
+        merger = _make_partial_merger(field_names)
+        encoded = (
+            partials.withColumn(
+                "bucket", F.pmod(F.xxhash64("term"), F.lit(term_buckets))
+            )
+            .groupBy("split_id", "bucket")
+            .applyInArrow(merger, POSTINGS_SCHEMA)
         )
-        group_cols = ["split_id", "bucket", "chunk"]
     else:
-        tok_rows = tok_rows.withColumn(
-            "bucket", F.pmod(F.xxhash64("term"), F.lit(term_buckets))
-        )
-        group_cols = ["split_id", "bucket"]
-    encoder = _make_token_encoder(field_names, pos_fields)
-    encoded = tok_rows.groupBy(*group_cols).applyInArrow(
-        encoder, POSTINGS_SCHEMA
-    )
-    if salt_chunk:
-        from quickwit_spark.operators.merge import merge_partial_postings
+        # ---- shuffle encode: raw token rows exchanged to
+        # (split, bucket) groups. Kept for A/B and for the explicit
+        # doc-range salting path (salt_chunk).
+        # field as a tinyint id: shrinks every shuffled token row and
+        # keeps the encoder's sort keys pure ints (strings are restored
+        # from the id on output)
+        # Per-field posexplode + union, NOT a single tagged Generate
+        # over concat(transform(...struct...)): building an
+        # array-of-structs per doc just to explode it costs ~2x the
+        # whole build in codegen allocation (measured 216s vs 111s on
+        # the 2M-doc bench; the struct wrap + array concat materialize
+        # every token twice). posexplode of the raw string arrays is
+        # the cheap path. The union also hides the docs partitioning
+        # from Catalyst (union output partitioning is unknown), which
+        # FORCES a token exchange onto the group keys below —
+        # desirable: it breaks the cache-scan + explode + giant
+        # per-split sort fusion and runs the encoder at shuffle width
+        # over compact token rows instead of one task per split.
+        per_field = [
+            docs.select(
+                "split_id",
+                "doc_id",
+                F.lit(i).cast("tinyint").alias("field_id"),
+                F.posexplode(f"toks_{fc.name}").alias("pos", "term"),
+            )
+            for i, fc in enumerate(config.indexed_fields)
+        ]
+        tok_rows = per_field[0]
+        for other in per_field[1:]:
+            tok_rows = tok_rows.unionByName(other)
 
-        encoded = merge_partial_postings(encoded, term_buckets)
+        # optional doc-range salt splits hot terms across tasks
+        if salt_chunk:
+            # each (term, doc-chunk) partial must cover ONE contiguous
+            # doc range so the phase-2 merge concatenates by first doc
+            tok_rows = tok_rows.withColumn(
+                "chunk", (F.col("doc_id") / F.lit(salt_chunk)).cast("long")
+            ).withColumn(
+                "bucket",
+                F.pmod(F.xxhash64("term", "chunk"), F.lit(term_buckets)),
+            )
+            group_cols = ["split_id", "bucket", "chunk"]
+        else:
+            tok_rows = tok_rows.withColumn(
+                "bucket", F.pmod(F.xxhash64("term"), F.lit(term_buckets))
+            )
+            group_cols = ["split_id", "bucket"]
+        encoder = _make_token_encoder(field_names, pos_fields)
+        encoded = tok_rows.groupBy(*group_cols).applyInArrow(
+            encoder, POSTINGS_SCHEMA
+        )
+        if salt_chunk:
+            from quickwit_spark.operators.merge import merge_partial_postings
+
+            encoded = merge_partial_postings(encoded, term_buckets)
 
     (
         encoded.repartition("split_id")

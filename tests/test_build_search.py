@@ -373,3 +373,44 @@ def test_store_source_roundtrip(spark, tmp_path_factory):
     assert len(got) == 1
     doc = json.loads(got[0]["_source"])
     assert doc == {"uid": "a", "body": "green anchovy swims", "n": 7}
+
+
+def test_mapside_encode_bit_identical_to_shuffle(
+    spark, corpus_rows, tmp_path_factory
+):
+    """The map-side partial encode (default) and the raw-token shuffle
+    encode must produce byte-identical postings — same doc-gap/tf/
+    positions streams AND same skip tables — on a corpus whose docs
+    scatter non-contiguous slices of each split across partitions
+    (twophase doc-id mode), the layout that forces real partial
+    merging."""
+    import os
+
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from quickwit_spark.operators.build import build_index
+    from quickwit_spark.plans.config import webpages_config
+
+    df = spark.createDataFrame(pd.DataFrame(corpus_rows))
+    out = {}
+    for mode in ("shuffle", "mapside"):
+        index_dir = str(tmp_path_factory.mktemp(f"enc_{mode}") / "idx")
+        build_index(
+            spark, df, index_dir, webpages_config(),
+            num_splits=3, term_buckets=8, encode_mode=mode,
+        )
+        rows = (
+            spark.read.parquet(os.path.join(index_dir, "postings"))
+            .select(
+                "split_id", "field", "term", "doc_freq", "total_tf",
+                F.base64("doc_bytes").alias("d"),
+                F.base64("tf_bytes").alias("t"),
+                F.base64("skip_bytes").alias("s"),
+                F.base64("pos_bytes").alias("p"),
+            )
+            .collect()
+        )
+        out[mode] = sorted(tuple(r) for r in rows)
+    assert out["shuffle"] == out["mapside"]
+    assert len(out["mapside"]) > 100
