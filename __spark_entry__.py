@@ -516,6 +516,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["near_dup_groups"] = near_dup_pipeline
 
+    def contamination(spark, sf_dir):
+        # benchmark = every 7th doc under 70; corpus = docs 70-299;
+        # k=3 grams (the 13-gram protocol scaled to these short docs)
+        from quickwit_spark.functions.decontam import contamination_check
+
+        d = _docs(spark, sf_dir)
+        bench = d.filter((F.col("doc_id") < 70) & (F.col("doc_id") % 7 == 0))
+        corpus = d.filter((F.col("doc_id") >= 70) & (F.col("doc_id") < 300))
+        return (
+            contamination_check(corpus, bench, k=3)
+            .withColumnRenamed("key", "doc_id")
+            .withColumn("n_grams", F.col("n_grams").cast("long"))
+        )
+
+    q["contamination_check"] = contamination
+
     # ---- similarity search over embeddings ----
     def ann_cosine_topk(spark, sf_dir):
         e = _emb(spark, sf_dir)
@@ -1070,6 +1086,44 @@ sums AS (
   FROM tok100 GROUP BY doc_id
 )
 SELECT doc_id, CAST({bit_recon} AS BIGINT) AS simhash FROM sums
+"""
+
+    # contamination_check: distinct 3-gram shingles; benchmark =
+    # doc_id < 70 AND doc_id % 7 = 0, corpus = 70 <= doc_id < 300
+    o["contamination_check"] = _with(_TOKS_CTE) + """
+, tarr AS (
+  SELECT doc_id, list(term ORDER BY pos) AS arr
+  FROM toks WHERE doc_id < 300 GROUP BY doc_id
+),
+shingles AS (
+  SELECT DISTINCT doc_id,
+         arr[i.i] || ' ' || arr[i.i + 1] || ' ' || arr[i.i + 2] AS gram
+  FROM tarr, UNNEST(generate_series(1, len(arr) - 2)) AS i(i)
+  WHERE len(arr) >= 3
+),
+bgrams AS (
+  SELECT DISTINCT gram FROM shingles
+  WHERE doc_id < 70 AND doc_id % 7 = 0
+),
+corpus AS (
+  SELECT doc_id, gram FROM shingles WHERE doc_id >= 70
+),
+hits AS (
+  SELECT c.doc_id, count(*) AS n_hit_grams
+  FROM corpus c JOIN bgrams b USING (gram)
+  GROUP BY c.doc_id
+),
+sizes AS (
+  SELECT doc_id, count(*) AS n_grams FROM corpus GROUP BY doc_id
+)
+SELECT t.doc_id,
+       coalesce(s.n_grams, 0) AS n_grams,
+       coalesce(h.n_hit_grams, 0) AS n_hit_grams,
+       coalesce(h.n_hit_grams, 0) > 0 AS contaminated
+FROM tarr t
+LEFT JOIN sizes s ON s.doc_id = t.doc_id
+LEFT JOIN hits h ON h.doc_id = t.doc_id
+WHERE t.doc_id >= 70
 """
 
     o["ann_cosine_topk"] = """

@@ -1,0 +1,89 @@
+"""Benchmark decontamination: flag corpus documents that share any
+k-token n-gram with a benchmark/eval set.
+
+Standard training-data hygiene (the GPT-3/PaLM 13-gram protocol, run
+over every pretraining corpus before use): an eval example leaking
+into the training set inflates downstream scores, so documents with
+n-gram overlap against the benchmark are flagged (and usually
+dropped or scrubbed). Reference-repo analogue: none — this is one of
+the LLM-pipeline operators layered on the engine's corpus tooling,
+sharing the shingle machinery of :mod:`quickwit_spark.functions.dedup`.
+
+Scale shape (100 TB corpus, benchmark suites of 10^3-10^6 examples):
+the benchmark side collapses to a DISTINCT gram set that is tiny
+relative to the corpus and is broadcast, so the corpus is scanned
+exactly once with NO shuffle of corpus grams — only grams that
+actually hit the benchmark set flow into the per-doc count
+aggregation, and the count table (one row per doc with >=1 hit) joins
+back onto the corpus for the final flag column (AQE broadcasts it
+when small, as it usually is). A
+``max_benchmark_grams`` guard fails loudly instead of silently
+broadcasting an unbounded set.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from quickwit_spark.functions.dedup import shingle_col
+
+
+def contamination_check(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    *,
+    k: int = 3,
+    key_col: str = "doc_id",
+    text_col: str = "text",
+    bench_text_col: str | None = None,
+    max_benchmark_grams: int | None = 10_000_000,
+) -> DataFrame:
+    """Per-document contamination report against ``benchmark``.
+
+    Returns one row per ``docs`` row: ``(key, n_grams, n_hit_grams,
+    contaminated)`` where ``n_hit_grams`` counts the doc's DISTINCT
+    k-grams that appear anywhere in the benchmark and ``contaminated``
+    is true when that count is > 0. Grams are distinct lowercased
+    alnum-token shingles (same tokenization as the dedup/textstats
+    oracles, so the whole report is SQL-reproducible).
+    """
+    btc = bench_text_col or text_col
+    bench_grams = benchmark.select(
+        F.explode(shingle_col(F.col(btc), k)).alias("gram")
+    ).distinct()
+    if max_benchmark_grams is not None:
+        # count(limit n+1) — an early-stopping guard, not a full count
+        probe = bench_grams.limit(max_benchmark_grams + 1).count()
+        if probe > max_benchmark_grams:
+            raise ValueError(
+                f"benchmark has > {max_benchmark_grams} distinct "
+                f"{k}-grams — too large to broadcast; raise "
+                "max_benchmark_grams or pre-reduce the benchmark"
+            )
+    doc_grams = docs.select(
+        F.col(key_col).alias("key"),
+        F.explode(shingle_col(F.col(text_col), k)).alias("gram"),
+    )
+    hits = (
+        doc_grams.join(F.broadcast(bench_grams), "gram")
+        .groupBy("key")
+        .agg(F.count("*").alias("n_hit_grams"))
+    )
+    sizes = docs.select(
+        F.col(key_col).alias("key"),
+        F.size(shingle_col(F.col(text_col), k)).alias("n_grams"),
+    )
+    # hits is one row per CONTAMINATED doc — usually tiny (AQE will
+    # broadcast it), but not provably bounded, so no forced broadcast
+    return (
+        sizes.join(hits, "key", "left")
+        .select(
+            "key",
+            "n_grams",
+            F.coalesce(F.col("n_hit_grams"), F.lit(0)).alias("n_hit_grams"),
+            (F.coalesce(F.col("n_hit_grams"), F.lit(0)) > 0).alias(
+                "contaminated"
+            ),
+        )
+    )

@@ -621,3 +621,51 @@ def test_repetition_signals_shuffle_free_plan(spark):
     plan = with_repetition_signals(df)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan  # per-row expressions only
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_contamination_check_flags_overlap(spark):
+    from quickwit_spark.functions.decontam import contamination_check
+
+    bench = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [0], "text": ["alpha beta gamma delta"]})
+    )
+    corpus = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": [10, 11, 12, 13],
+                "text": [
+                    # shares the 3-gram "alpha beta gamma" AND
+                    # "beta gamma delta"
+                    "xx alpha beta gamma delta yy",
+                    # shares tokens but no 3-gram
+                    "alpha zz beta zz gamma",
+                    # clean
+                    "one two three four",
+                    # too short for any 3-gram
+                    "alpha beta",
+                ],
+            }
+        )
+    )
+    rows = {
+        r["key"]: r
+        for r in contamination_check(corpus, bench, k=3).collect()
+    }
+    assert rows[10]["contaminated"] and rows[10]["n_hit_grams"] == 2
+    assert rows[10]["n_grams"] == 4
+    assert not rows[11]["contaminated"] and rows[11]["n_hit_grams"] == 0
+    assert not rows[12]["contaminated"]
+    assert rows[13]["n_grams"] == 0 and not rows[13]["contaminated"]
+
+
+def test_contamination_check_benchmark_size_guard(spark):
+    from quickwit_spark.functions.decontam import contamination_check
+
+    bench = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [0], "text": ["a b c d e f g h"]})
+    )
+    corpus = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [1], "text": ["a b c"]})
+    )
+    with pytest.raises(ValueError, match="too large to broadcast"):
+        contamination_check(corpus, bench, k=3, max_benchmark_grams=2)
