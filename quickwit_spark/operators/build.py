@@ -391,9 +391,35 @@ def _flat_binary(arr):
     return off - off[0], val[off[0] : off[-1]]
 
 
-def _make_partial_merger(field_names: list[str]):
-    """``applyInArrow`` body over ``(split_id, bucket)`` groups of
-    PARTIAL rows: vectorized k-way concatenation. Partials of one
+def _first_varints(off: np.ndarray, val: np.ndarray) -> np.ndarray:
+    """First varint value of each cell of a flat binary column —
+    vectorized over rows (one pass per varint byte position, ≤10)."""
+    n = off.size - 1
+    res = np.zeros(n, dtype=np.uint64)
+    pos = off[:-1].astype(np.int64).copy()
+    active = (off[1:] - off[:-1]) > 0
+    shift = np.uint64(0)
+    for _ in range(10):
+        idx = np.flatnonzero(active)
+        if idx.size == 0:
+            break
+        b = val[pos[idx]]
+        res[idx] |= (b & np.uint8(0x7F)).astype(np.uint64) << shift
+        cont = (b & 0x80) != 0
+        active[idx[~cont]] = False
+        pos[idx[cont]] += 1
+        shift += np.uint64(7)
+    return res
+
+
+def _make_partial_merger(
+    field_names: list[str],
+    *,
+    rebase: dict[int, int] | None = None,
+    out_split: int | None = None,
+):
+    """``applyInArrow`` body over term-bucket groups of PARTIAL
+    posting rows: vectorized k-way concatenation. Partials of one
     (field, term) cover disjoint ascending doc ranges, so sorting rows
     by ``first_doc`` and concatenating IS the merge; only the doc-gap
     stream needs re-encoding (the first gap of each non-first partial
@@ -401,6 +427,22 @@ def _make_partial_merger(field_names: list[str]):
     position streams restart absolute at every doc — both concatenate
     verbatim via Arrow ``take`` (one C++ memcpy, no per-term Python).
     Skip tables are built fresh on the final entry layout.
+
+    Three callers, one code path:
+    - map-side build: rows carry ``first_doc``; groups are
+      ``(split_id, bucket)``.
+    - salted shuffle build: full posting rows per doc-chunk (no
+      ``first_doc`` — derived from the first varint of ``doc_bytes``);
+      chunks are contiguous disjoint ranges.
+    - split compaction (``merge_splits`` unsorted path): ``rebase``
+      maps each input split to its doc-id offset and ``out_split``
+      names the merged split; after the constant-offset rebase the
+      inputs' doc ranges are disjoint by construction, so the same
+      concatenation merge applies (merge_executor.rs:271-335 re-bases
+      via tantivy segment merge; ours is arithmetic).
+    The merge still verifies per-term doc monotonicity and fails
+    loudly — interleaved partials (demux / sorted-merge remaps) must
+    use :func:`quickwit_spark.operators.merge.merge_partial_postings`.
     """
     import pyarrow as pa
     import pyarrow.compute as pc
@@ -440,7 +482,11 @@ def _make_partial_merger(field_names: list[str]):
         n = tbl.num_rows
         if n == 0:
             return out_schema.empty_table()
-        split_id = tbl.column("split_id")[0].as_py()
+        split_id = (
+            out_split
+            if out_split is not None
+            else tbl.column("split_id")[0].as_py()
+        )
         fc_ = pc.dictionary_encode(tbl.column("field").combine_chunks())
         fcodes = fc_.indices.to_numpy()
         fvocab = fc_.dictionary
@@ -453,7 +499,20 @@ def _make_partial_merger(field_names: list[str]):
         vorder = pc.sort_indices(vocab).to_numpy()
         vrank = np.empty(vorder.size, dtype=np.int32)
         vrank[vorder] = np.arange(vorder.size, dtype=np.int32)
-        first = tbl.column("first_doc").to_numpy()
+        if "first_doc" in tbl.column_names:
+            first = tbl.column("first_doc").to_numpy().astype(np.int64)
+        else:
+            ro, rv = _flat_binary(
+                tbl.column("doc_bytes").combine_chunks()
+            )
+            first = _first_varints(ro, rv).astype(np.int64)
+        off_row = None
+        if rebase:
+            sid_arr = tbl.column("split_id").to_numpy()
+            off_row = np.zeros(n, dtype=np.int64)
+            for s, o in rebase.items():
+                off_row[sid_arr == s] = o
+            first = first + off_row
 
         order = np.lexsort((first, vrank[codes], frank[fcodes]))
         o_codes = codes[order]
@@ -478,6 +537,10 @@ def _make_partial_merger(field_names: list[str]):
         cums = np.cumsum(gaps)
         base = (cums - gaps)[row_ent[:-1]]
         docs_u = cums - np.repeat(base, dfreq)
+        if off_row is not None:
+            docs_u = docs_u + np.repeat(
+                off_row[order], dfreq
+            ).astype(np.uint64)
 
         t_off, t_val = _flat_binary(tfb)
         tfs = varbyte_decode(t_val, count=int(row_ent[-1]))
@@ -1125,9 +1188,18 @@ def _execute_build(
             encoder, POSTINGS_SCHEMA
         )
         if salt_chunk:
-            from quickwit_spark.operators.merge import merge_partial_postings
-
-            encoded = merge_partial_postings(encoded, term_buckets)
+            # phase-2: doc-chunk partials are contiguous disjoint
+            # ranges — the vectorized concat merge applies (first doc
+            # derived from the first varint of each chunk's stream)
+            merger = _make_partial_merger(field_names)
+            encoded = (
+                encoded.withColumn(
+                    "bucket",
+                    F.pmod(F.xxhash64("term"), F.lit(term_buckets)),
+                )
+                .groupBy("split_id", "bucket")
+                .applyInArrow(merger, POSTINGS_SCHEMA)
+            )
 
     (
         encoded.repartition("split_id")

@@ -198,15 +198,24 @@ def merge_splits(
         rebase[sid] = acc
         acc += metas[str(sid)].num_docs
 
-    # ---- postings: decode → re-base → k-way merge per term ----
+    # ---- postings: constant-offset re-base → vectorized
+    #      concatenation merge (inputs' doc ranges are disjoint after
+    #      the rebase, so this is the same concat-in-first-doc-order
+    #      merge the map-side build uses — no per-term Python) ----
+    from quickwit_spark.operators.build import _make_partial_merger
+
     postings = (
         spark.read.parquet(ms.postings_dir())
         .filter(F.col("split_id").isin(in_ids))
-        .withColumn("out_split", F.lit(new_sid))
         .withColumn("bucket", F.pmod(F.xxhash64("term"), F.lit(term_buckets)))
     )
-    merged = postings.groupBy("bucket").applyInPandas(
-        lambda pdf: _merge_term_rows(pdf, rebase=rebase), POSTINGS_SCHEMA
+    merger = _make_partial_merger(
+        [fc.name for fc in config.indexed_fields],
+        rebase=rebase,
+        out_split=new_sid,
+    )
+    merged = postings.groupBy("bucket").applyInArrow(
+        merger, POSTINGS_SCHEMA
     )
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     (
