@@ -375,15 +375,17 @@ def test_store_source_roundtrip(spark, tmp_path_factory):
     assert doc == {"uid": "a", "body": "green anchovy swims", "n": 7}
 
 
+@pytest.mark.parametrize("num_splits", [3, 64])
 def test_mapside_encode_bit_identical_to_shuffle(
-    spark, corpus_rows, tmp_path_factory
+    spark, corpus_rows, tmp_path_factory, num_splits
 ):
     """The map-side partial encode (default) and the raw-token shuffle
     encode must produce byte-identical postings — same doc-gap/tf/
-    positions streams AND same skip tables — on a corpus whose docs
-    scatter non-contiguous slices of each split across partitions
-    (twophase doc-id mode), the layout that forces real partial
-    merging."""
+    positions streams AND same skip tables — in BOTH doc-id modes:
+    num_splits=3 < cores exercises the twophase layout (non-contiguous
+    slices of each split share partitions, forcing real partial
+    merging), num_splits=64 >= cores exercises the window layout plus
+    the empty-split placeholder path (64 splits over 250 docs)."""
     import os
 
     import pandas as pd
@@ -398,7 +400,7 @@ def test_mapside_encode_bit_identical_to_shuffle(
         index_dir = str(tmp_path_factory.mktemp(f"enc_{mode}") / "idx")
         build_index(
             spark, df, index_dir, webpages_config(),
-            num_splits=3, term_buckets=8, encode_mode=mode,
+            num_splits=num_splits, term_buckets=8, encode_mode=mode,
         )
         rows = (
             spark.read.parquet(os.path.join(index_dir, "postings"))
