@@ -19,13 +19,22 @@ while [ "$ok" -lt 3 ]; do
     sleep 60
     continue
   fi
+  # Best of 3 back-to-back allocations: the FIRST allocation in a
+  # fresh interpreter routinely reads 5-20x slower than the next two
+  # (allocator warmup, not host state) — observed 98 then 4508 then
+  # 2029 MB/s in one probe. A single cold reading wedged the gate
+  # closed on a healthy host.
   rate=$(python - <<'EOF'
 import time
 import numpy as np
-t0 = time.time()
-a = np.empty(64 * 1024 * 1024, dtype=np.uint8)
-a[::4096] = 1
-print(int(64 / (time.time() - t0)))
+best = 0.0
+for _ in range(3):
+    t0 = time.time()
+    a = np.empty(64 * 1024 * 1024, dtype=np.uint8)
+    a[::4096] = 1
+    best = max(best, 64 / (time.time() - t0))
+    del a
+print(int(best))
 EOF
 )
   echo "$(date +%H:%M:%S) fault_in=${rate}MB/s ok=${ok}"
