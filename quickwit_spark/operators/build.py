@@ -417,6 +417,7 @@ def _make_partial_merger(
     *,
     rebase: dict[int, int] | None = None,
     out_split: int | None = None,
+    interleaved: bool = False,
 ):
     """``applyInArrow`` body over term-bucket groups of PARTIAL
     posting rows: vectorized k-way concatenation. Partials of one
@@ -428,7 +429,7 @@ def _make_partial_merger(
     verbatim via Arrow ``take`` (one C++ memcpy, no per-term Python).
     Skip tables are built fresh on the final entry layout.
 
-    Three callers, one code path:
+    Four callers, one code path:
     - map-side build: rows carry ``first_doc``; groups are
       ``(split_id, bucket)``.
     - salted shuffle build: full posting rows per doc-chunk (no
@@ -440,15 +441,28 @@ def _make_partial_merger(
       inputs' doc ranges are disjoint by construction, so the same
       concatenation merge applies (merge_executor.rs:271-335 re-bases
       via tantivy segment merge; ours is arithmetic).
-    The merge still verifies per-term doc monotonicity and fails
-    loudly — interleaved partials (demux / sorted-merge remaps) must
-    use :func:`quickwit_spark.operators.merge.merge_partial_postings`.
+    - demux / sorted merge (``interleaved=True``): remapped partials
+      of one term may overlap in doc space (a global sort-field remap
+      permutes docs across inputs), so after the concat the entries of
+      each interleaving term get a stable within-term sort by doc id —
+      a vectorized k-way merge (one ``lexsort`` over all entries; the
+      per-doc position byte slices are self-contained — first gap
+      absolute per doc — so they permute as pure byte ranges). Terms
+      whose partials don't interleave take the concat path untouched
+      (merge_executor.rs:337-489 demux rewrites postings through
+      tantivy's vectorized segment merge, not a per-term loop).
+
+    With ``interleaved=False`` the merge verifies per-term doc
+    monotonicity and fails loudly — an interleave there means doc-id
+    partitioning broke the build's contiguity invariant.
+    Duplicate doc ids within a term are rejected in both modes.
     """
     import pyarrow as pa
     import pyarrow.compute as pc
 
     from quickwit_spark.operators.codec import (
         BLOCK_SIZE,
+        _ragged_gather,
         _varbyte_lengths,
         varbyte_decode,
         varbyte_encode,
@@ -555,16 +569,89 @@ def _make_partial_merger(
         T = starts_row.size
         total = int(row_ent[-1])
 
-        # partials must tile each term's doc space disjointly
+        p_off, p_val = _flat_binary(posb)
+        valid_rows = posb.is_valid().to_numpy(zero_copy_only=False)
+        term_valid = valid_rows[starts_row]
+
+        # partials must tile each term's doc space disjointly — unless
+        # interleaved mode, where overlapping terms get a vectorized
+        # within-term merge (ONE stable lexsort over all entries)
         is_start = np.zeros(total, dtype=bool)
         is_start[starts_td] = True
         bad = (~is_start[1:]) & (docs_u[1:] <= docs_u[:-1])
+        perm = None
+        pos_cell_lo = pos_cell_len = None
         if bad.any():
-            i = int(np.flatnonzero(bad)[0])
+            if not interleaved:
+                i = int(np.flatnonzero(bad)[0])
+                raise ValueError(
+                    "partial postings interleave in doc space at entry "
+                    f"{i + 1} (doc {int(docs_u[i + 1])} after {int(docs_u[i])})"
+                    " — doc-id partitioning violated the contiguity invariant"
+                )
+            # per-entry byte ranges of the positions stream, computed
+            # BEFORE the permute: each doc's positions are a
+            # self-contained byte slice (first gap absolute per doc),
+            # so the merge permutes them as raw ranges
+            if valid_rows.any():
+                row_term = np.repeat(np.arange(T), ends_row - starts_row)
+                if not np.array_equal(valid_rows, term_valid[row_term]):
+                    raise ValueError(
+                        "partials of one term disagree on positions "
+                        "presence — positions would be silently dropped"
+                    )
+                tfs_i = tfs.astype(np.int64)
+                val_cnt = np.where(valid_rows, ttf, 0).astype(np.int64)
+                val_base = np.cumsum(val_cnt) - val_cnt
+                cont = (p_val & 0x80) != 0
+                val_starts = (
+                    np.flatnonzero(np.concatenate(([True], ~cont[:-1])))
+                    if p_val.size
+                    else np.empty(0, dtype=np.int64)
+                )
+                if val_starts.size != int(val_cnt.sum()):
+                    raise ValueError(
+                        f"positions stream holds {val_starts.size} values, "
+                        f"total_tf of position rows sums to {int(val_cnt.sum())}"
+                    )
+                byte_bound = np.append(val_starts, p_val.size).astype(np.int64)
+                row_of_entry = np.repeat(np.arange(n), dfreq)
+                excg = np.cumsum(tfs_i) - tfs_i
+                vstart = val_base[row_of_entry] + (
+                    excg - np.repeat(excg[row_ent[:-1]], dfreq)
+                )
+                ent_valid = valid_rows[row_of_entry]
+                pos_cell_lo = np.zeros(total, dtype=np.int64)
+                pos_cell_len = np.zeros(total, dtype=np.int64)
+                iv = np.flatnonzero(ent_valid)
+                pos_cell_lo[iv] = byte_bound[vstart[iv]]
+                pos_cell_len[iv] = (
+                    byte_bound[vstart[iv] + tfs_i[iv]] - pos_cell_lo[iv]
+                )
+            ent_term = np.repeat(
+                np.arange(T, dtype=np.int64), ends_td - starts_td
+            )
+            perm = np.lexsort((docs_u, ent_term))
+            docs_u = docs_u[perm]
+            tfs = tfs[perm]
+            if pos_cell_lo is not None:
+                pos_cell_lo = pos_cell_lo[perm]
+                pos_cell_len = pos_cell_len[perm]
+            dup = (~is_start[1:]) & (docs_u[1:] <= docs_u[:-1])
+            if dup.any():
+                i = int(np.flatnonzero(dup)[0])
+                raise ValueError(
+                    f"duplicate doc id {int(docs_u[i + 1])} within one "
+                    "term across partials — the remap mapped two input "
+                    "docs to the same output doc"
+                )
+        if total and int(docs_u.max()) >= 2**32:
+            # skip tables store last_doc as u32; a merged split is the
+            # first place rebased doc ids can cross it — fail loudly
+            # instead of silently corrupting skip data
             raise ValueError(
-                "partial postings interleave in doc space at entry "
-                f"{i + 1} (doc {int(docs_u[i + 1])} after {int(docs_u[i])})"
-                " — doc-id partitioning violated the contiguity invariant"
+                f"doc id {int(docs_u.max())} exceeds the u32 skip-table "
+                "ceiling (2^32 docs per split) — merge fewer splits at once"
             )
 
         # ---- re-gap + encode doc stream; tf stream concatenates but
@@ -597,22 +684,31 @@ def _make_partial_merger(
         skip_cum = first_block.astype(np.int32) * 20
         tidx = np.arange(T, dtype=np.int64)
 
-        # ---- positions: pure byte concatenation (absolute restart at
-        #      every doc), term cells = row-range slices of the taken
-        #      stream ----
-        p_off, p_val = _flat_binary(posb)
-        valid_rows = posb.is_valid().to_numpy(zero_copy_only=False)
-        term_valid = valid_rows[starts_row]
-        pos_off_out = np.empty(T + 1, dtype=np.int32)
-        pos_off_out[:-1] = p_off[starts_row]
-        pos_off_out[-1] = p_off[-1]
+        # ---- positions: with contiguous partials a pure byte
+        #      concatenation (term cells = row-range slices of the
+        #      taken stream); after a within-term permute, one ragged
+        #      gather of the per-doc byte slices in merged order ----
+        if perm is None:
+            pos_off_out = np.empty(T + 1, dtype=np.int32)
+            pos_off_out[:-1] = p_off[starts_row]
+            pos_off_out[-1] = p_off[-1]
+            pos_stream_out = p_val
+        elif pos_cell_len is not None:
+            pos_stream_out = p_val[_ragged_gather(pos_cell_lo, pos_cell_len)]
+            seg_bytes = np.add.reduceat(pos_cell_len, starts_td)
+            pos_off_out = np.concatenate(
+                ([0], np.cumsum(seg_bytes))
+            ).astype(np.int32)
+        else:
+            pos_off_out = np.zeros(T + 1, dtype=np.int32)
+            pos_stream_out = np.empty(0, dtype=np.uint8)
         pos_arr = pa.Array.from_buffers(
             pa.binary(),
             T,
             [
                 pa.py_buffer(np.packbits(term_valid, bitorder="little")),
                 pa.py_buffer(pos_off_out),
-                pa.py_buffer(p_val),
+                pa.py_buffer(pos_stream_out),
             ],
             null_count=int(T - term_valid.sum()),
         )

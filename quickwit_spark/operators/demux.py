@@ -40,7 +40,7 @@ from quickwit_spark.operators.build import write_fastfields
 from quickwit_spark.operators.merge import (
     POSTINGS_SCHEMA,
     merge_partial_postings,
-    remap_postings_fn,
+    remap_postings_arrow,
 )
 from quickwit_spark.plans.metastore import SplitMetadata, open_metastore
 
@@ -145,7 +145,7 @@ def demux_splits(
     partials = (
         postings.groupBy("split_id")
         .cogroup(mapping.groupBy("split_id"))
-        .applyInPandas(remap_postings_fn, POSTINGS_SCHEMA)
+        .applyInArrow(remap_postings_arrow, POSTINGS_SCHEMA)
     )
     merged = merge_partial_postings(partials, term_buckets)
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")

@@ -3,11 +3,13 @@
 Two jobs (reference: quickwit-indexing actors/merge_executor.rs,
 SURVEY.md §2.5):
 
-- :func:`merge_partial_postings` — second phase of the salted build:
-  partial posting encodes of doc-id chunks of the same term are
-  re-merged by concatenation + re-gapping (the chunks cover disjoint
-  ascending doc ranges, so a decode → concat → encode per term is a
-  k-way merge of sorted runs).
+- :func:`merge_partial_postings` — re-merge partial posting rows of
+  the same term into final lists. Runs the vectorized Arrow
+  concat-merger (``build._make_partial_merger``) in interleaved mode:
+  disjoint partials concatenate, overlapping ones (demux /
+  sorted-merge remaps) get ONE stable lexsort over all entries —
+  never a per-term Python loop (merge_executor.rs:337-489 rewrites
+  postings through tantivy's vectorized segment merge).
 - :func:`merge_splits` — compaction: k published splits → 1. Doc ids
   are re-based by the cumulative doc counts of the inputs in
   ascending split-id order (merge_executor.rs:271-335 re-bases via
@@ -15,6 +17,13 @@ SURVEY.md §2.5):
   term, docmap/fastfields concatenated, and the output split
   atomically replaces its inputs in the metastore
   (publish-with-replace semantics, publisher.rs:94-105).
+
+:func:`remap_postings_arrow` (cogrouped per input split) rewrites
+posting lists through a (doc_id → new_split, new_doc) mapping for
+demux and sorted merges — all-entry vectorized: one decode of every
+list in the group, one lexsort to (row, target split, new doc) order,
+one re-encode; per-doc position byte slices move as raw ranges (each
+doc's positions restart absolute, so no position decode at all).
 """
 
 from __future__ import annotations
@@ -27,11 +36,6 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from quickwit_spark.operators.codec import (
-    decode_posting_list,
-    decode_positions,
-    encode_posting_list,
-)
 from quickwit_spark.plans.metastore import SplitMetadata, open_metastore
 
 POSTINGS_SCHEMA = (
@@ -40,130 +44,218 @@ POSTINGS_SCHEMA = (
 )
 
 
-def _merge_term_rows(pdf: pd.DataFrame, rebase: dict[int, int] | None) -> pd.DataFrame:
-    """Merge posting chunks row-group: input rows are partial lists of
-    the same (field, term) — or of multiple terms — each covering a
-    disjoint doc range (after optional re-basing)."""
-    out_rows = []
-    target_sid = int(pdf["out_split"].iloc[0]) if "out_split" in pdf.columns else int(
-        pdf["split_id"].iloc[0]
-    )
-    for (field, term), grp in pdf.groupby(["field", "term"], sort=True):
-        docs_parts, tfs_parts, pos_parts = [], [], []
-        any_pos = grp["pos_bytes"].notna().any()
-        for _, r in grp.iterrows():
-            docs, tfs = decode_posting_list(
-                r["doc_bytes"], r["tf_bytes"], int(r["doc_freq"])
-            )
-            docs = docs.astype(np.int64)
-            if rebase is not None:
-                docs = docs + rebase[int(r["split_id"])]
-            docs_parts.append(docs)
-            tfs_parts.append(tfs)
-            if any_pos:
-                pos_parts.append(
-                    decode_positions(r["pos_bytes"], tfs)
-                    if r["pos_bytes"] is not None
-                    else [np.empty(0, np.uint64)] * len(docs)
-                )
-        order = np.argsort([int(d[0]) for d in docs_parts], kind="stable")
-        docs = np.concatenate([docs_parts[i] for i in order])
-        tfs = np.concatenate([tfs_parts[i] for i in order])
-        positions = None
-        if any_pos:
-            positions = []
-            for i in order:
-                positions.extend(pos_parts[i])
-        if docs.size > 1 and not (np.diff(docs) > 0).all():
-            # sorted-index merge: partials interleave in doc space
-            # (the remap permutes docs globally by the sort field), so
-            # finish with a real k-way merge — doc ids are unique
-            # across partials, a stable sort is the merge
-            perm = np.argsort(docs, kind="mergesort")
-            docs, tfs = docs[perm], tfs[perm]
-            if positions is not None:
-                positions = [positions[i] for i in perm]
-        enc = encode_posting_list(docs.astype(np.uint64), tfs, positions)
-        out_rows.append(
-            (
-                target_sid, field, term, int(docs.size), int(tfs.sum()),
-                enc["doc_bytes"], enc["tf_bytes"], enc["skip_bytes"],
-                enc.get("pos_bytes"),
-            )
-        )
-    return pd.DataFrame(
-        out_rows,
-        columns=[
-            "split_id", "field", "term", "doc_freq", "total_tf",
-            "doc_bytes", "tf_bytes", "skip_bytes", "pos_bytes",
-        ],
+def remap_postings_arrow(post_tbl, map_tbl):
+    """Cogrouped (Arrow) per input split: decode every posting list in
+    the group at once, remap doc ids through the (doc_id → new_split,
+    new_doc) mapping, and emit one PARTIAL posting row per (output
+    split, term) — sorted by new doc id inside each partial.
+    merge_partial_postings finishes the k-way merge across input
+    splits. Shared by demux and the sorted merge path; no per-row or
+    per-term Python (the whole group is one lexsort + one varbyte
+    re-encode; positions move as per-doc byte ranges)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from quickwit_spark.operators.build import _flat_binary
+    from quickwit_spark.operators.codec import (
+        _ragged_gather,
+        _varbyte_lengths,
+        varbyte_decode,
+        varbyte_encode,
     )
 
+    out_schema = pa.schema(
+        [
+            ("split_id", pa.int32()),
+            ("field", pa.string()),
+            ("term", pa.string()),
+            ("doc_freq", pa.int64()),
+            ("total_tf", pa.int64()),
+            ("doc_bytes", pa.binary()),
+            ("tf_bytes", pa.binary()),
+            ("skip_bytes", pa.binary()),
+            ("pos_bytes", pa.binary()),
+        ]
+    )
+    if post_tbl.num_rows == 0 or map_tbl.num_rows == 0:
+        return out_schema.empty_table()
 
-def remap_postings_fn(key, post_pdf: pd.DataFrame, map_pdf: pd.DataFrame) -> pd.DataFrame:
-    """Cogrouped per input split: decode each posting list, remap its
-    doc ids through the (doc_id -> new_split, new_doc) mapping, and
-    emit one PARTIAL posting row per (output split, term). Partials
-    are disjoint contiguous runs when the mapping keeps each input
-    split's docs in relative order (demux) or re-sorts globally
-    (sorted merge) — either way merge_partial_postings finishes the
-    k-way merge. Shared by demux and the sorted merge path."""
-    cols = [
-        "split_id", "field", "term", "doc_freq", "total_tf",
-        "doc_bytes", "tf_bytes", "skip_bytes", "pos_bytes",
-    ]
-    if len(post_pdf) == 0 or len(map_pdf) == 0:
-        return pd.DataFrame(columns=cols)
-    n_docs = int(map_pdf["doc_id"].max()) + 1
+    od = map_tbl.column("doc_id").to_numpy().astype(np.int64, copy=False)
+    n_docs = int(od.max()) + 1
     to_split = np.full(n_docs, -1, dtype=np.int64)
     to_doc = np.full(n_docs, -1, dtype=np.int64)
-    od = map_pdf["doc_id"].to_numpy()
-    to_split[od] = map_pdf["new_split"].to_numpy()
-    to_doc[od] = map_pdf["new_doc"].to_numpy()
-    rows = []
-    for r in post_pdf.itertuples(index=False):
-        docs, tfs = decode_posting_list(r.doc_bytes, r.tf_bytes, int(r.doc_freq))
-        docs = docs.astype(np.int64)
-        pos = (
-            decode_positions(r.pos_bytes, tfs)
-            if r.pos_bytes is not None
-            else None
+    to_split[od] = map_tbl.column("new_split").to_numpy()
+    to_doc[od] = map_tbl.column("new_doc").to_numpy()
+
+    n = post_tbl.num_rows
+    dfreq = post_tbl.column("doc_freq").to_numpy().astype(np.int64, copy=False)
+    row_ent = np.concatenate(([0], np.cumsum(dfreq)))
+    total = int(row_ent[-1])
+
+    # decode ALL doc streams at once: per-row cumsum-with-reset
+    docb = post_tbl.column("doc_bytes").combine_chunks()
+    d_off, d_val = _flat_binary(docb)
+    gaps = varbyte_decode(d_val)
+    if gaps.size != total:
+        raise ValueError(
+            f"doc streams decode to {gaps.size} entries, doc_freq sums "
+            f"to {total}"
         )
-        tgt_split = to_split[docs]
-        tgt_doc = to_doc[docs]
-        if (tgt_split < 0).any():
+    cums = np.cumsum(gaps)
+    base = (cums - gaps)[row_ent[:-1]]
+    docs = (cums - np.repeat(base, dfreq)).astype(np.int64)
+    t_off, t_val = _flat_binary(post_tbl.column("tf_bytes").combine_chunks())
+    tfs = varbyte_decode(t_val, count=total).astype(np.int64)
+
+    if total and (int(docs.max()) >= n_docs or (to_split[docs] < 0).any()):
+        raise ValueError(
+            "postings reference doc ids missing from the docmap mapping "
+            f"(input split {post_tbl.column('split_id')[0].as_py()})"
+        )
+    tgt_split = to_split[docs]
+    tgt_doc = to_doc[docs]
+
+    # per-entry positions byte ranges BEFORE the permute (each doc's
+    # positions are self-contained: first gap absolute per doc)
+    posb = post_tbl.column("pos_bytes").combine_chunks()
+    valid_rows = posb.is_valid().to_numpy(zero_copy_only=False)
+    row_of_entry = np.repeat(np.arange(n, dtype=np.int64), dfreq)
+    b_lo = b_len = None
+    if valid_rows.any():
+        ttf = post_tbl.column("total_tf").to_numpy().astype(np.int64, copy=False)
+        p_off, p_val = _flat_binary(posb)
+        val_cnt = np.where(valid_rows, ttf, 0).astype(np.int64)
+        val_base = np.cumsum(val_cnt) - val_cnt
+        cont = (p_val & 0x80) != 0
+        val_starts = (
+            np.flatnonzero(np.concatenate(([True], ~cont[:-1])))
+            if p_val.size
+            else np.empty(0, dtype=np.int64)
+        )
+        if val_starts.size != int(val_cnt.sum()):
             raise ValueError(
-                f"postings reference doc ids missing from the docmap "
-                f"mapping (split {r.split_id}, term {r.term!r})"
+                f"positions stream holds {val_starts.size} values, "
+                f"total_tf of position rows sums to {int(val_cnt.sum())}"
             )
-        for ns in np.unique(tgt_split):
-            sel = tgt_split == ns
-            d, t = tgt_doc[sel], tfs[sel]
-            order = np.argsort(d, kind="mergesort")
-            d, t = d[order], t[order]
-            p = None
-            if pos is not None:
-                idx = np.flatnonzero(sel)[order]
-                p = [pos[i] for i in idx]
-            enc = encode_posting_list(d.astype(np.uint64), t, p)
-            rows.append(
-                (
-                    int(ns), r.field, r.term, int(d.size), int(t.sum()),
-                    enc["doc_bytes"], enc["tf_bytes"], enc["skip_bytes"],
-                    enc.get("pos_bytes"),
-                )
-            )
-    return pd.DataFrame(rows, columns=cols)
+        byte_bound = np.append(val_starts, p_val.size).astype(np.int64)
+        excg = np.cumsum(tfs) - tfs
+        vstart = val_base[row_of_entry] + (
+            excg - np.repeat(excg[row_ent[:-1]], dfreq)
+        )
+        ent_valid = valid_rows[row_of_entry]
+        b_lo = np.zeros(total, dtype=np.int64)
+        b_len = np.zeros(total, dtype=np.int64)
+        iv = np.flatnonzero(ent_valid)
+        b_lo[iv] = byte_bound[vstart[iv]]
+        b_len[iv] = byte_bound[vstart[iv] + tfs[iv]] - b_lo[iv]
+
+    # ONE stable sort to (input row, target split, new doc) order —
+    # the group's entire rewrite is this permutation
+    perm = np.lexsort((tgt_doc, tgt_split, row_of_entry))
+    rs = row_of_entry[perm]
+    ss = tgt_split[perm]
+    dd = tgt_doc[perm]
+    tt = tfs[perm]
+
+    new_seg = np.ones(total, dtype=bool)
+    new_seg[1:] = (rs[1:] != rs[:-1]) | (ss[1:] != ss[:-1])
+    seg_start = np.flatnonzero(new_seg)
+    seg_end = np.append(seg_start[1:], total)
+    S = seg_start.size
+
+    # re-gap per segment (absolute at segment start)
+    g64 = np.empty(total, dtype=np.int64)
+    g64[0] = dd[0]
+    g64[1:] = dd[1:] - dd[:-1]
+    g64[seg_start] = dd[seg_start]
+    strict = (~new_seg[1:]) & (g64[1:] <= 0)
+    if strict.any():
+        raise ValueError(
+            "remapped doc ids are not strictly increasing within a "
+            "(term, output split) — the docmap mapping is not injective"
+        )
+    gaps_out = g64.astype(np.uint64)
+    doc_stream = varbyte_encode(gaps_out)
+    doc_cum = np.concatenate(([0], np.cumsum(_varbyte_lengths(gaps_out))))
+    tt_u = tt.astype(np.uint64)
+    tf_stream = varbyte_encode(tt_u)
+    tf_cum = np.concatenate(([0], np.cumsum(_varbyte_lengths(tt_u))))
+
+    def _bin_from_slices(cum, starts, ends, stream):
+        offsets = np.empty(starts.size + 1, dtype=np.int32)
+        offsets[:-1] = cum[starts]
+        offsets[-1] = cum[ends[-1]] if ends.size else 0
+        return pa.Array.from_buffers(
+            pa.binary(),
+            starts.size,
+            [None, pa.py_buffer(offsets), pa.py_buffer(stream)],
+        )
+
+    # positions: gather the per-doc byte slices in permuted order
+    if b_len is not None:
+        pb_lo = b_lo[perm]
+        pb_len = b_len[perm]
+        pos_stream = p_val[_ragged_gather(pb_lo, pb_len)]
+        seg_bytes = np.add.reduceat(pb_len, seg_start)
+        pos_off = np.concatenate(([0], np.cumsum(seg_bytes))).astype(np.int32)
+        seg_valid = valid_rows[rs[seg_start]]
+        pos_arr = pa.Array.from_buffers(
+            pa.binary(),
+            S,
+            [
+                pa.py_buffer(np.packbits(seg_valid, bitorder="little")),
+                pa.py_buffer(pos_off),
+                pa.py_buffer(pos_stream),
+            ],
+            null_count=int(S - seg_valid.sum()),
+        )
+    else:
+        pos_arr = pa.nulls(S, pa.binary())
+
+    seg_rows = pa.array(rs[seg_start])
+    return pa.table(
+        {
+            "split_id": pa.array(
+                ss[seg_start].astype(np.int32), type=pa.int32()
+            ),
+            "field": pc.take(post_tbl.column("field").combine_chunks(), seg_rows),
+            "term": pc.take(post_tbl.column("term").combine_chunks(), seg_rows),
+            "doc_freq": pa.array(
+                (seg_end - seg_start).astype(np.int64), type=pa.int64()
+            ),
+            "total_tf": pa.array(
+                np.add.reduceat(tt, seg_start).astype(np.int64),
+                type=pa.int64(),
+            ),
+            "doc_bytes": _bin_from_slices(doc_cum, seg_start, seg_end, doc_stream),
+            "tf_bytes": _bin_from_slices(tf_cum, seg_start, seg_end, tf_stream),
+            # partial rows carry no skip data — merge_partial_postings
+            # rebuilds skip tables on the final entry layout
+            "skip_bytes": _bin_from_slices(
+                np.zeros(S + 1, dtype=np.int32),
+                np.arange(S),
+                np.arange(1, S + 1),
+                np.empty(0, dtype=np.uint8),
+            ),
+            "pos_bytes": pos_arr,
+        },
+        schema=out_schema,
+    )
 
 
 def merge_partial_postings(encoded: DataFrame, term_buckets: int) -> DataFrame:
-    """Phase-2 of the salted build: re-merge doc-chunk partials."""
+    """Re-merge partial posting rows into final lists: the vectorized
+    Arrow concat-merger in interleaved mode (disjoint partials
+    concatenate; overlapping ones get a within-term stable sort —
+    still one lexsort for the whole bucket, no per-term Python)."""
+    from quickwit_spark.operators.build import _make_partial_merger
+
+    merger = _make_partial_merger([], interleaved=True)
     bucketed = encoded.withColumn(
         "bucket", F.pmod(F.xxhash64("term"), F.lit(term_buckets))
     )
-    return (
-        bucketed.groupBy("split_id", "bucket")
-        .applyInPandas(lambda pdf: _merge_term_rows(pdf, rebase=None), POSTINGS_SCHEMA)
+    return bucketed.groupBy("split_id", "bucket").applyInArrow(
+        merger, POSTINGS_SCHEMA
     )
 
 
@@ -348,7 +440,7 @@ def _merge_splits_sorted(
     partials = (
         postings.groupBy("split_id")
         .cogroup(mapping.groupBy("split_id"))
-        .applyInPandas(remap_postings_fn, POSTINGS_SCHEMA)
+        .applyInArrow(remap_postings_arrow, POSTINGS_SCHEMA)
     )
     merged = merge_partial_postings(partials, term_buckets)
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")

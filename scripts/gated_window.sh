@@ -19,25 +19,28 @@ while [ "$ok" -lt 3 ]; do
     sleep 60
     continue
   fi
-  # Best of 3 back-to-back allocations: the FIRST allocation in a
-  # fresh interpreter routinely reads 5-20x slower than the next two
-  # (allocator warmup, not host state) — observed 98 then 4508 then
-  # 2029 MB/s in one probe. A single cold reading wedged the gate
-  # closed on a healthy host.
-  rate=$(python - <<'EOF'
+  # Median of 3 back-to-back allocations, all three logged: the FIRST
+  # allocation in a fresh interpreter routinely reads 5-20x slower
+  # than the next two (allocator warmup, not host state) — observed
+  # 98 then 4508 then 2029 MB/s in one probe — so the cold outlier is
+  # discarded; but max-of-3 is biased optimistic on a genuinely
+  # degraded host that is briefly fast once per probe, so the gate
+  # reads the MEDIAN.
+  probe=$(python - <<'EOF'
 import time
 import numpy as np
-best = 0.0
+rates = []
 for _ in range(3):
     t0 = time.time()
     a = np.empty(64 * 1024 * 1024, dtype=np.uint8)
     a[::4096] = 1
-    best = max(best, 64 / (time.time() - t0))
+    rates.append(int(64 / (time.time() - t0)))
     del a
-print(int(best))
+print(sorted(rates)[1], *rates)
 EOF
 )
-  echo "$(date +%H:%M:%S) fault_in=${rate}MB/s ok=${ok}"
+  rate=${probe%% *}
+  echo "$(date +%H:%M:%S) fault_in=${rate}MB/s samples=[${probe#* }] ok=${ok}"
   if [ "$rate" -gt 300 ]; then ok=$((ok + 1)); else ok=0; fi
   sleep 90
 done
