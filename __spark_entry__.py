@@ -1116,14 +1116,14 @@ hits AS (
 sizes AS (
   SELECT doc_id, count(*) AS n_grams FROM corpus GROUP BY doc_id
 )
-SELECT t.doc_id,
+SELECT d.doc_id,
        coalesce(s.n_grams, 0) AS n_grams,
        coalesce(h.n_hit_grams, 0) AS n_hit_grams,
        coalesce(h.n_hit_grams, 0) > 0 AS contaminated
-FROM tarr t
-LEFT JOIN sizes s ON s.doc_id = t.doc_id
-LEFT JOIN hits h ON h.doc_id = t.doc_id
-WHERE t.doc_id >= 70
+FROM documents d
+LEFT JOIN sizes s ON s.doc_id = d.doc_id
+LEFT JOIN hits h ON h.doc_id = d.doc_id
+WHERE d.doc_id >= 70 AND d.doc_id < 300
 """
 
     o["ann_cosine_topk"] = """

@@ -37,7 +37,8 @@ def contamination_check(
     key_col: str = "doc_id",
     text_col: str = "text",
     bench_text_col: str | None = None,
-    max_benchmark_grams: int | None = 10_000_000,
+    max_benchmark_grams: int | None = 1_000_000,
+    max_benchmark_gram_bytes: int | None = 256 << 20,
 ) -> DataFrame:
     """Per-document contamination report against ``benchmark``.
 
@@ -60,6 +61,21 @@ def contamination_check(
                 f"benchmark has > {max_benchmark_grams} distinct "
                 f"{k}-grams — too large to broadcast; raise "
                 "max_benchmark_grams or pre-reduce the benchmark"
+            )
+    if max_benchmark_gram_bytes is not None:
+        # row count bounds cardinality, not payload: 1M grams of long
+        # strings can still be hundreds of MB. One distributed agg over
+        # the (already row-bounded) distinct set bounds actual bytes
+        # before the broadcast is forced.
+        est = bench_grams.agg(
+            F.coalesce(F.sum(F.octet_length("gram")), F.lit(0)).alias("b")
+        ).collect()[0][0]
+        if est > max_benchmark_gram_bytes:
+            raise ValueError(
+                f"benchmark gram set is ~{est} bytes of strings — over "
+                f"the {max_benchmark_gram_bytes}-byte broadcast guard; "
+                "raise max_benchmark_gram_bytes or pre-reduce the "
+                "benchmark"
             )
     doc_grams = docs.select(
         F.col(key_col).alias("key"),

@@ -64,7 +64,17 @@ class Searcher:
         return self._stamp is not None and self._stamp == self.ms.state_token()
 
     def table(self, name: str) -> DataFrame:
-        """Resolved DataFrame for 'postings' | 'fastfields' | 'docmap'."""
+        """Resolved DataFrame for 'postings' | 'fastfields' | 'docmap'.
+
+        Self-validating: a DataFrame's file listing is frozen when
+        ``spark.read.parquet`` resolves it, so a Searcher held across a
+        concurrent publish/merge/demux/GC would otherwise keep reading
+        a replaced split's files. Every call re-checks the metastore
+        state token and drops the cache on staleness."""
+        tok = self.ms.state_token()
+        if tok != self._stamp:
+            self._dfs.clear()
+            self._stamp = tok
         df = self._dfs.get(name)
         if df is None:
             paths = {

@@ -215,6 +215,17 @@ def parse_query(q: str) -> Bool | _RawLeaf:
 
 
 # ------------------------------------------------------- resolution
+def _field_or_parse_error(config: IndexConfig, name: str):
+    """Schema lookup surfaced as a query error (the reference maps
+    FieldDoesNotExist into its QueryParserError, query_builder.rs:73;
+    QueryParseError is a ValueError so serve.py returns 400, not
+    500)."""
+    try:
+        return config.field(name)
+    except KeyError:
+        raise QueryParseError(f"field does not exist: {name!r}") from None
+
+
 def resolve_query(
     node,
     config: IndexConfig,
@@ -229,9 +240,15 @@ def resolve_query(
     defaults = tuple(search_fields or config.default_search_fields)
     if not defaults:
         raise QueryParseError("no default search fields configured")
+    # parity with query_builder.rs:41-45/68-77: the (explicit or
+    # default) search-field list is resolved against the schema UP
+    # FRONT — `title:foo` with search_fields=["url"] is an error even
+    # though every leaf is field-scoped and the defaults go unused
+    for f in defaults:
+        _field_or_parse_error(config, f)
 
     def leaf_for_field(fld: str, raw: _RawLeaf):
-        fc = config.field(fld)
+        fc = _field_or_parse_error(config, fld)
         toks = tokenize(raw.text, fc.tokenizer)
         if not toks:
             return MatchNone()
@@ -249,7 +266,7 @@ def resolve_query(
         if isinstance(n, _RawLeaf):
             fields = (n.field,) if n.field else defaults
             for f in fields:
-                config.field(f)  # raises on undeclared field
+                _field_or_parse_error(config, f)
             leaves = [leaf_for_field(f, n) for f in fields]
             if len(leaves) == 1:
                 return leaves[0]

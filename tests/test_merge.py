@@ -198,3 +198,42 @@ def test_crash_before_publish_resume_bitwise_identical(
         pb_df = spark.read.parquet(f"{dir_b}/{sub}")
         rows_b = sorted(map(str, pb_df.orderBy(*pb_df.columns).collect()))
         assert rows_a == rows_b, sub
+
+
+def test_searcher_self_validates_across_publish(
+    spark, corpus_rows, tmp_path_factory
+):
+    """A Searcher held across a concurrent publish must not keep the
+    pre-publish file listing: ``table()`` re-checks the metastore state
+    token per call and re-resolves on staleness (round-3 verdict
+    'What's wrong' #3). Without this, the merged split's parquet files
+    — written AFTER the DataFrame was resolved — would be invisible to
+    the held Searcher and every post-merge query would come back
+    empty."""
+    from quickwit_spark.operators.search import Searcher
+
+    index_dir = str(tmp_path_factory.mktemp("held_searcher"))
+    df = spark.createDataFrame(pd.DataFrame(corpus_rows))
+    build_index(spark, df, index_dir, webpages_config(), num_splits=3)
+
+    held = Searcher(spark, index_dir)
+    pre_sids = {
+        r["split_id"]
+        for r in held.table("docmap").select("split_id").distinct().collect()
+    }
+    ms = Metastore(index_dir)
+    old_sids = [s.split_id for s in ms.list_published()]
+    assert pre_sids == {int(s) for s in old_sids}
+
+    merged = merge_splits(spark, index_dir, old_sids)  # publish happens here
+    assert not held.fresh()
+
+    post_sids = {
+        r["split_id"]
+        for r in held.table("docmap").select("split_id").distinct().collect()
+    }
+    # the newly published split's files must be visible through the SAME
+    # Searcher object (old files may linger until GC — that's fine, the
+    # query planner prunes to published split ids)
+    assert int(merged.split_id) in post_sids
+    assert held.fresh()  # stamp re-synced by the table() call
