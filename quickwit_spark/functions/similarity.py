@@ -449,6 +449,47 @@ def ivf_assign_matmul(
     ).mapInPandas(assign, schema=f"key {ktype}, cell int")
 
 
+#: above this many cells the expression-fold quantizer's plan stops
+#: being reasonable (one sub-expression per centroid → Catalyst plan
+#: size and codegen time grow linearly); ivf_ann switches to the
+#: Arrow-GEMM assignment path automatically past it
+IVF_MATMUL_THRESHOLD = 300
+
+
+def _probe_filter_matmul(
+    df: DataFrame,
+    centroids: np.ndarray,
+    probe: list[int],
+    vec_col: str,
+    key_col: str,
+) -> DataFrame:
+    """Rows whose GEMM-assigned cell is in ``probe`` — assignment and
+    cell filter fused into one shuffle-free Arrow pass (no (key, cell)
+    join back onto the corpus). Same semantics as
+    :func:`ivf_assign_matmul` (incl. its zero-vector note)."""
+    import pandas as pd
+
+    cn = np.asarray(centroids, dtype=np.float64)
+    norms = np.linalg.norm(cn, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    bc = df.sparkSession.sparkContext.broadcast(cn / norms)
+    probe_arr = np.array(sorted(probe), dtype=np.int64)
+    sub = df.select(key_col, vec_col)
+
+    def flt(batches):
+        cmat = bc.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            v = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+            vn = np.linalg.norm(v, axis=1, keepdims=True)
+            vn[vn == 0] = 1.0
+            cells = ((v / vn) @ cmat.T).argmax(axis=1)
+            yield pdf[np.isin(cells, probe_arr)]
+
+    return sub.mapInPandas(flt, schema=sub.schema)
+
+
 def ivf_probe_cells(
     query_vec: list[float], centroids: np.ndarray, nprobe: int
 ) -> list[int]:
@@ -478,17 +519,39 @@ def ivf_ann(
     nprobe: int = 2,
     vec_col: str = "embedding",
     key_col: str = "vec_id",
+    assign_mode: str = "auto",
 ) -> DataFrame:
     """Approximate top-k: exact cosine restricted to the vectors
     whose IVF cell is among the query's ``nprobe`` nearest cells.
     Scale shape: assignment is a shuffle-free scan (at ingest time it
     would be precomputed and stored as a partition column, making the
     probe a partition-pruned scan); rerank touches only the probed
-    cells' rows."""
+    cells' rows.
+
+    ``assign_mode``: ``"fold"`` — per-centroid JVM expression fold
+    (whole-stage codegen, exact-oracle-reproducible, plan grows with
+    n_cells); ``"matmul"`` — Arrow-GEMM batch assignment (the
+    beyond-few-hundred-cells regime, e.g. a 65k-cell quantizer);
+    ``"auto"`` (default) — matmul when ``n_cells >
+    IVF_MATMUL_THRESHOLD``, fold otherwise. The two agree except on
+    degenerate inputs: exact cosine TIES may break differently under
+    float associativity, and a ZERO query/centroid vector scores
+    cosine NaN under the fold (NaN sorts above every double, so a
+    zero centroid absorbs all rows) but cosine 0 under matmul (norm
+    clamped to 1) — filter zero vectors upstream either way."""
+    if assign_mode not in ("auto", "fold", "matmul"):
+        raise ValueError(f"unknown assign_mode {assign_mode!r}")
+    n_cells = int(np.asarray(centroids).shape[0])
+    use_matmul = assign_mode == "matmul" or (
+        assign_mode == "auto" and n_cells > IVF_MATMUL_THRESHOLD
+    )
     probe = ivf_probe_cells(query_vec, centroids, nprobe)
-    assigned = df.withColumn(
-        "__cell", _cell_assignment_col(centroids, vec_col)
-    ).filter(F.col("__cell").isin(probe))
+    if use_matmul:
+        assigned = _probe_filter_matmul(df, centroids, probe, vec_col, key_col)
+    else:
+        assigned = df.withColumn(
+            "__cell", _cell_assignment_col(centroids, vec_col)
+        ).filter(F.col("__cell").isin(probe))
     qc = F.array(*[F.lit(float(x)) for x in query_vec])
     return (
         assigned.select(

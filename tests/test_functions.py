@@ -669,3 +669,35 @@ def test_contamination_check_benchmark_size_guard(spark):
     )
     with pytest.raises(ValueError, match="too large to broadcast"):
         contamination_check(corpus, bench, k=3, max_benchmark_grams=2)
+
+
+def test_ivf_ann_auto_matmul_matches_fold_beyond_threshold(spark):
+    """Round-3 verdict item #8: ivf_ann reaches the GEMM quantizer
+    through the public API — past IVF_MATMUL_THRESHOLD cells the
+    "auto" mode assigns via the Arrow matmul, and on a non-degenerate
+    corpus (no zero vectors, no exact ties) the result is identical
+    to the expression fold."""
+    from quickwit_spark.functions import similarity as sim
+
+    rng = np.random.default_rng(23)
+    vecs = rng.normal(size=(1500, 8)).round(3)
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(len(vecs))],
+        "vec_id long, embedding array<double>",
+    )
+    cents = sim.ivf_centroids(df, n_cells=sim.IVF_MATMUL_THRESHOLD + 1)
+    qvec = [float(x) for x in vecs[0]]
+
+    auto = [
+        (r["key"], r["cosine"])
+        for r in sim.ivf_ann(df, qvec, cents, k=7, nprobe=3).collect()
+    ]
+    fold = [
+        (r["key"], r["cosine"])
+        for r in sim.ivf_ann(
+            df, qvec, cents, k=7, nprobe=3, assign_mode="fold"
+        ).collect()
+    ]
+    assert auto == fold and len(auto) == 7
+    with pytest.raises(ValueError, match="assign_mode"):
+        sim.ivf_ann(df, qvec, cents, assign_mode="nope")

@@ -237,3 +237,62 @@ def test_searcher_self_validates_across_publish(
     # query planner prunes to published split ids)
     assert int(merged.split_id) in post_sids
     assert held.fresh()  # stamp re-synced by the table() call
+
+
+@pytest.mark.parametrize("backend", ["file", "table"])
+def test_full_lifecycle_both_backends(
+    spark, corpus_rows, tmp_path_factory, backend
+):
+    """Round-3 verdict item #7: the whole split lifecycle — bootstrap
+    build → incremental add_documents (with exactly-once replay) →
+    merge-policy-planned compaction → GC → search — end-to-end on BOTH
+    metastore backends. The contract tests cover each op in isolation;
+    this drives them in sequence against one index."""
+    from quickwit_spark.operators.build import add_documents
+    from quickwit_spark.plans.metastore import open_metastore
+
+    cfg = webpages_config(
+        metastore_backend=backend,
+        merge_factor=3,
+        max_merge_factor=4,
+    )
+    index_dir = str(tmp_path_factory.mktemp(f"lifecycle_{backend}"))
+    pdf = pd.DataFrame(corpus_rows)
+    half = len(pdf) // 2
+    build_index(
+        spark, spark.createDataFrame(pdf.iloc[:half]), index_dir, cfg,
+        num_splits=2,
+    )
+    added = add_documents(
+        spark, spark.createDataFrame(pdf.iloc[half:]), index_dir,
+        source_id="s1", position="0001", num_splits=2,
+    )
+    assert len(added) == 2
+    # micro-batch replay at the same position is an exactly-once no-op
+    assert add_documents(
+        spark, spark.createDataFrame(pdf.iloc[half:]), index_dir,
+        source_id="s1", position="0001", num_splits=2,
+    ) == []
+
+    before = {q: set(_match_scores(spark, index_dir, q)) for q in QUERIES}
+    counts = {
+        q: count_hits(spark, index_dir, SearchRequest(query=q))
+        for q in QUERIES
+    }
+    assert any(before.values()), "corpus queries must match something"
+
+    ms = open_metastore(index_dir)
+    ops = plan_merges(ms.list_published(), cfg)
+    assert ops, "4 level-0 splits with merge_factor=3 must plan a merge"
+    for op in ops:
+        merge_splits(spark, index_dir, op)
+    victims = garbage_collect(index_dir, grace=False)
+    assert victims, "compaction must retire the merged inputs"
+
+    after_published = {s.split_id for s in ms.list_published()}
+    assert not (set(victims) & after_published)
+    for q in QUERIES:
+        assert set(_match_scores(spark, index_dir, q)) == before[q], q
+        assert counts[q] == count_hits(
+            spark, index_dir, SearchRequest(query=q)
+        ), q
