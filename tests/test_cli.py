@@ -186,3 +186,75 @@ def test_cli_search_format_json_requires_store_source(
     out = capsys.readouterr().out
     assert rc == 1
     assert "store_source" in out
+
+
+@pytest.mark.skipif(
+    __import__("shutil").which("spark-submit") is None
+    or __import__("shutil").which("zip") is None,
+    reason="spark-submit / zip not on PATH",
+)
+def test_spark_submit_py_files_ingest_and_search(spark, tmp_path_factory):
+    """North-rule line item made executable: the engine ships to a
+    cluster as a plain package via ``spark-submit --py-files qws.zip``.
+    The job runs from a NEUTRAL cwd with only cli_entry.py copied next
+    to the data — the repo is NOT on sys.path, so every import must
+    come from the zip, exactly like a real multi-executor submit."""
+    import os
+    import shutil
+    import subprocess
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    root = tmp_path_factory.mktemp("submit")
+    zip_path = str(root / "qws.zip")
+    subprocess.run(
+        ["zip", "-qr", zip_path, "quickwit_spark", "-x", "*__pycache__*"],
+        cwd=repo, check=True,
+    )
+    shutil.copy(os.path.join(repo, "cli_entry.py"), root / "cli_entry.py")
+
+    idx = str(root / "idx")
+    cfg_path = str(root / "cfg.json")
+    data_path = str(root / "pages.parquet")
+    with open(cfg_path, "w") as f:
+        json.dump(
+            {
+                "fields": [
+                    {"name": "text", "tokenizer": "default",
+                     "record": "position"},
+                    {"name": "lang", "tokenizer": "raw", "record": "basic"},
+                ],
+                "key_field": "url",
+                "default_search_fields": ["text"],
+                "timestamp_field": "warc_ts",
+                "tag_fields": ["lang"],
+                "fast_fields": ["warc_ts", "lang"],
+            },
+            f,
+        )
+    pdf = gen_batch(np.arange(150), seed=7)
+    spark.createDataFrame(
+        pdf[["url", "warc_ts", "text", "lang"]]
+    ).write.parquet(data_path)
+
+    env = {k: v for k, v in os.environ.items() if k != "PYTHONPATH"}
+    env["PYSPARK_PYTHON"] = sys.executable
+    env["PYSPARK_DRIVER_PYTHON"] = sys.executable
+
+    def submit(*argv):
+        out = subprocess.run(
+            ["spark-submit", "--master", "local[4]",
+             "--conf", "spark.sql.shuffle.partitions=8",
+             "--py-files", zip_path, "cli_entry.py", *argv],
+            cwd=root, env=env, capture_output=True, text=True, timeout=300,
+        )
+        assert out.returncode == 0, out.stderr[-2000:]
+        return out.stdout
+
+    submit(
+        "ingest", "--index", idx, "--input", data_path,
+        "--format", "parquet", "--config", cfg_path, "--num-splits", "2",
+    )
+    got = submit("search", "--index", idx, "--query", "the", "-k", "5")
+    payload = json.loads(got[got.index("{"):])
+    assert payload["num_hits"] > 0 and len(payload["hits"]) == 5
