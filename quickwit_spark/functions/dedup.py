@@ -114,8 +114,14 @@ def lsh_candidate_pairs(
             .filter(F.col("__bsz") <= max_bucket_size)
             .drop("__bsz")
         )
-    a = exploded.alias("a")
-    b = exploded.alias("b")
+    # merge hint: under AQE, converting one side of this self-join to
+    # a broadcast breaks shuffle-stage reuse and RECOMPUTES the whole
+    # signature lineage (corpus scan + shingle explode + 12 min-aggs)
+    # for that side — measured 2-3x wall on sf0.1. Pinning SMJ keeps
+    # both sides on the same reused shuffle stage; at corpus scale SMJ
+    # is what AQE would pick anyway.
+    a = exploded.alias("a").hint("merge")
+    b = exploded.alias("b").hint("merge")
     return (
         a.join(
             b,
@@ -157,8 +163,10 @@ def ngram_jaccard_pairs(
         )
         sh = sh.join(ckeys, "key", "left_semi")
     sizes = sh.groupBy("key").agg(F.count("*").alias("sz"))
-    a = sh.alias("a")
-    b = sh.alias("b")
+    # merge hint: same AQE stage-reuse rationale as lsh_candidate_pairs
+    # (a broadcast-converted side would re-scan + re-explode the corpus)
+    a = sh.alias("a").hint("merge")
+    b = sh.alias("b").hint("merge")
     inter = (
         a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.key") < F.col("b.key")))
         .groupBy(F.col("a.key").alias("key_a"), F.col("b.key").alias("key_b"))
@@ -227,7 +235,9 @@ def simhash_near_pairs(sig_df: DataFrame, max_hamming: int = 3) -> DataFrame:
             )
         ).alias("p"),
     ).select("key", "simhash", "p.which", "p.half")
-    a, b = parts.alias("a"), parts.alias("b")
+    # merge hint: same AQE stage-reuse rationale as lsh_candidate_pairs
+    # (parts derives from the per-doc simhash aggregation)
+    a, b = parts.alias("a").hint("merge"), parts.alias("b").hint("merge")
     cand = (
         a.join(
             b,

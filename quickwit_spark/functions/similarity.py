@@ -244,7 +244,12 @@ def embedding_near_dup_pairs(
             .filter(F.col("__bsz") <= max_bucket_size)
             .drop("__bsz")
         )
-    a, b = exploded.alias("a"), exploded.alias("b")
+    # merge hint: under AQE a broadcast-converted self-join side breaks
+    # shuffle-stage reuse and recomputes the banded-projection lineage
+    # (see dedup.lsh_candidate_pairs) — pin SMJ so the exploded band
+    # table is computed once
+    a = exploded.alias("a").hint("merge")
+    b = exploded.alias("b").hint("merge")
     cands = (
         a.join(
             b,
