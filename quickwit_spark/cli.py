@@ -178,6 +178,36 @@ def cmd_demux(args) -> int:
     from quickwit_spark.operators.demux import demux_splits
 
     spark = get_spark("qws-demux")
+    if getattr(args, "plan", False):
+        # policy-driven batching (the reference pipeline's
+        # demux_operations, merge_policy.rs:330-352): only
+        # never-demuxed splits of ≥ target docs, oldest first, in
+        # batches of ≥ demux_factor × target docs
+        from quickwit_spark.plans.merge_policy import plan_demux
+        from quickwit_spark.plans.metastore import open_metastore
+
+        ms = open_metastore(args.index)
+        batches = plan_demux(
+            ms.list_published(), ms.config(), args.field,
+            demux_factor=args.demux_factor,
+        )
+        new_ids: list[str] = []
+        for batch in batches:
+            metas = demux_splits(
+                spark, args.index, args.field, split_ids=batch,
+                num_out_splits=args.num_splits,
+            )
+            new_ids.extend(m.split_id for m in metas)
+        print(
+            json.dumps(
+                {
+                    "new_splits": new_ids,
+                    "field": args.field,
+                    "batches": batches,
+                }
+            )
+        )
+        return 0
     metas = demux_splits(
         spark, args.index, args.field, num_out_splits=args.num_splits
     )
@@ -296,6 +326,13 @@ def main(argv: list[str] | None = None) -> int:
     c.add_argument("--index", required=True)
     c.add_argument("--field", required=True)
     c.add_argument("--num-splits", type=int, default=None)
+    c.add_argument(
+        "--plan", action="store_true",
+        help="policy-driven batching: demux only never-demuxed splits "
+        "of >= target docs, oldest first, in batches of >= "
+        "demux-factor x target docs (reference demux_operations)",
+    )
+    c.add_argument("--demux-factor", type=int, default=6)
     c.set_defaults(fn=cmd_demux)
 
     c = sub.add_parser("delete", help="delete splits (--splits) or the index (--yes)")

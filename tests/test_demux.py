@@ -125,3 +125,40 @@ def test_demux_null_field_values_survive(spark, corpus_rows, tmp_path_factory):
     assert docmap.count() == len(rows)
     assert docmap.filter(F.col("lang").isNull()).count() == 7
     assert "__demux_key" not in docmap.columns
+
+
+def test_cli_demux_plan_batches(spark, corpus_rows, tmp_path_factory, capsys):
+    """`demux --plan` routes through the reference demux planning
+    (merge_policy.rs:330-407): with split_num_docs_target shrunk so
+    every split qualifies, one batch covers all splits and the demuxed
+    index replaces them."""
+    import json as _json
+
+    from quickwit_spark import cli
+
+    index_dir = str(tmp_path_factory.mktemp("demux_plan") / "idx")
+    df = spark.createDataFrame(pd.DataFrame(corpus_rows))
+    cfg = webpages_config(split_num_docs_target=50)
+    build_index(spark, df, index_dir, cfg, num_splits=4)
+
+    rc = cli.main(
+        ["demux", "--index", index_dir, "--field", "lang", "--plan",
+         "--demux-factor", "4", "--num-splits", "2"]
+    )
+    assert rc == 0
+    out = capsys.readouterr().out.strip().splitlines()
+    payload = _json.loads(out[-1])
+    assert payload["batches"], "all splits qualify -> at least one batch"
+    ms = Metastore(index_dir)
+    published = {s.split_id for s in ms.list_published()}
+    assert set(payload["new_splits"]) <= published
+    planned = {sid for batch in payload["batches"] for sid in batch}
+    assert not (planned & published), "planned inputs were replaced"
+    # demuxed outputs are mature for demux: a second --plan is a no-op
+    rc = cli.main(
+        ["demux", "--index", index_dir, "--field", "lang", "--plan",
+         "--demux-factor", "4"]
+    )
+    assert rc == 0
+    payload2 = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert payload2["batches"] == []

@@ -130,17 +130,26 @@ def test_merge_policy_levels():
     ]
     ops = plan_merges(young, cfg)
     assert len(ops) == 2 and len(ops[0]) == 12 and len(ops[1]) == 12
+    # candidates grow from the OLDEST end (reverse end-time order)
+    assert ops[0] == [str(i) for i in range(11, -1, -1)]
     # mature splits never planned
     mature = [
         SplitMetadata(split_id="m", num_docs=10_000_000, time_range=(0, 1))
     ] * 15
     assert plan_merges(mature, cfg) == []
-    # level separation: big young splits don't merge with small ones
+    # reference behavior: young splits merge toward the doc target even
+    # across sizes — an over-target candidate is accepted and becomes a
+    # mature split (merge_policy.rs:446-494), so two 5M splits (plus
+    # whatever small split the window includes) merge into one ~10M
     mixed = young[:5] + [
         SplitMetadata(split_id=f"b{i}", num_docs=5_000_000, time_range=(0, i))
         for i in range(5)
     ]
-    assert plan_merges(mixed, cfg) == []
+    mixed_ops = plan_merges(mixed, cfg)
+    assert [set(op) for op in mixed_ops] == [
+        {"b1", "0", "b0"},        # oldest window first
+        {"b3", "2", "b2", "1"},   # next fixpoint pass
+    ]
 
 
 def test_gc_removes_retired_split_data(spark, merged_index):
