@@ -645,6 +645,138 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["multimodal_frame_sample"] = mm_frames
 
+    # ---- web-corpus curation (round 4): URL/line/substring dedup,
+    # ---- domain stats, LM quality, terms aggregation ----
+    def url_dedup(spark, sf_dir):
+        from quickwit_spark.functions.urlnorm import dedup_urls
+
+        # documents carry no URL column; synthesize the messy URL
+        # variants a crawl produces (case/port/www/params/fragment),
+        # mirrored verbatim in the oracle — variants 0/1/3 normalize
+        # to the same canonical URL, variant 2 stays distinct
+        d = _docs(spark, sf_dir)
+        m = (F.col("doc_id") % 40).cast("string")
+        url = (
+            F.when(
+                F.col("doc_id") % 4 == 0,
+                F.concat(
+                    F.lit("HTTP://WWW."), F.col("source"),
+                    F.lit(".Example.COM:80/p//"), m,
+                    F.lit("/?utm_source=x&b=2&a=1#f"),
+                ),
+            )
+            .when(
+                F.col("doc_id") % 4 == 1,
+                F.concat(
+                    F.lit("http://"), F.col("source"),
+                    F.lit(".example.com/p/"), m, F.lit("?a=1&b=2&fbclid=z"),
+                ),
+            )
+            .when(
+                F.col("doc_id") % 4 == 2,
+                F.concat(
+                    F.lit("https://cdn."), F.col("source"),
+                    F.lit(".example.com/asset/"), m,
+                ),
+            )
+            .otherwise(
+                F.concat(
+                    F.lit("http://"), F.col("source"),
+                    F.lit(".example.com/p/"), m, F.lit("/?b=2&a=1"),
+                ),
+            )
+        )
+        return dedup_urls(d.withColumn("url", url))
+
+    q["url_dedup"] = url_dedup
+
+    def line_dedup(spark, sf_dir):
+        from quickwit_spark.functions.linededup import dedup_lines
+
+        # documents are single-line; reshape into 12-token lines and
+        # inject the boilerplate lines real pages share (header on
+        # doc_id%5==0, footer on doc_id%7==0) — mirrored in the oracle
+        d = _docs(spark, sf_dir)
+        toks = F.filter(F.split(F.col("text"), r"\s+"), lambda t: t != "")
+        lines = F.transform(
+            # greatest(0, …): Spark sequence(0, -1) would DESCEND on an
+            # empty-token doc; clamp so it degenerates to one '' line
+            F.sequence(
+                F.lit(0),
+                F.greatest(
+                    F.lit(0), F.floor((F.size(toks) - 1) / 12).cast("int")
+                ),
+            ),
+            lambda i: F.array_join(F.slice(toks, i * 12 + 1, 12), " "),
+        )
+        body = F.array_join(lines, "\n")
+        text2 = F.concat(
+            F.when(
+                F.col("doc_id") % 5 == 0,
+                F.lit("subscribe to our newsletter for updates\n"),
+            ).otherwise(F.lit("")),
+            body,
+            F.when(
+                F.col("doc_id") % 7 == 0,
+                F.lit("\ncopyright example inc all rights reserved"),
+            ).otherwise(F.lit("")),
+        )
+        return dedup_lines(d.withColumn("text", text2))
+
+    q["line_dedup"] = line_dedup
+
+    def dup_substring_spans(spark, sf_dir):
+        from quickwit_spark.functions.substring_dedup import duplicate_spans
+
+        # the synthetic corpus repeats passages naturally — k=13 (the
+        # Lee et al. protocol length) finds real cross-doc spans
+        return duplicate_spans(_docs(spark, sf_dir), k=13, min_docs=2)
+
+    q["dup_substring_spans"] = dup_substring_spans
+
+    def dup_substring_frac(spark, sf_dir):
+        from quickwit_spark.functions.substring_dedup import duplicated_fraction
+
+        return duplicated_fraction(_docs(spark, sf_dir), k=13, min_docs=2)
+
+    q["dup_substring_frac"] = dup_substring_frac
+
+    def domain_stats(spark, sf_dir):
+        from quickwit_spark.functions.domains import domain_stats as ds
+
+        return ds(_docs(spark, sf_dir))
+
+    q["domain_stats"] = domain_stats
+
+    def lm_quality(spark, sf_dir):
+        from quickwit_spark.functions.lmquality import bigram_lm_score
+
+        return bigram_lm_score(_docs(spark, sf_dir))
+
+    q["lm_quality"] = lm_quality
+
+    def terms_agg(spark, sf_dir):
+        from quickwit_spark.operators.aggregations import terms_buckets
+        from quickwit_spark.operators.search import (
+            SearchRequest,
+            fetch_docs,
+            matches_df,
+        )
+
+        idx = _docs_index(spark, sf_dir)
+        m = matches_df(spark, idx, SearchRequest(query="value"))
+        hits = fetch_docs(spark, idx, m, columns=["key"], bounded=False).select(
+            F.col("key").cast("long").alias("doc_id")
+        )
+        d = _docs(spark, sf_dir).select("doc_id", "lang", "n_chars")
+        j = hits.join(d, "doc_id")
+        return terms_buckets(
+            j, "lang", size=3,
+            sub_cols=[F.round(F.avg("n_chars"), 6).alias("avg_n_chars")],
+        )
+
+    q["terms_agg"] = terms_agg
+
     return q
 
 
@@ -1359,6 +1491,195 @@ WITH n AS (
 )
 SELECT doc_id, CAST(i.i AS BIGINT) AS frame_idx, CAST(i.i * 500 AS BIGINT) AS offset_ms
 FROM n, UNNEST(generate_series(0, n_frames - 1)) AS i(i)
+"""
+
+    # ---- web-corpus curation (round 4) ----
+    from quickwit_spark.functions.urlnorm import urlnorm_oracle_expr
+
+    _SYNTH_URL = """
+  CASE CAST(doc_id % 4 AS INT)
+    WHEN 0 THEN 'HTTP://WWW.' || source || '.Example.COM:80/p//'
+                || CAST(doc_id % 40 AS VARCHAR) || '/?utm_source=x&b=2&a=1#f'
+    WHEN 1 THEN 'http://' || source || '.example.com/p/'
+                || CAST(doc_id % 40 AS VARCHAR) || '?a=1&b=2&fbclid=z'
+    WHEN 2 THEN 'https://cdn.' || source || '.example.com/asset/'
+                || CAST(doc_id % 40 AS VARCHAR)
+    ELSE 'http://' || source || '.example.com/p/'
+         || CAST(doc_id % 40 AS VARCHAR) || '/?b=2&a=1'
+  END
+"""
+    o["url_dedup"] = f"""
+WITH urls AS (
+  SELECT doc_id, {_SYNTH_URL} AS url FROM documents
+), normed AS (
+  SELECT doc_id, {urlnorm_oracle_expr('url')} AS url_norm FROM urls
+)
+SELECT url_norm, min(doc_id) AS kept_doc_id, count(*) - 1 AS n_dups
+FROM normed GROUP BY url_norm
+"""
+
+    o["line_dedup"] = r"""
+WITH tk AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS toks
+  FROM documents
+), reshaped AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 5 = 0
+              THEN 'subscribe to our newsletter for updates' || chr(10)
+              ELSE '' END
+         || coalesce((SELECT string_agg(array_to_string(toks[i.i*12+1 : i.i*12+12], ' '), chr(10) ORDER BY i.i)
+             FROM UNNEST(generate_series(0, greatest(0, CAST(floor((len(toks) - 1) / 12.0) AS BIGINT)))) AS i(i)), '')
+         || CASE WHEN doc_id % 7 = 0
+                 THEN chr(10) || 'copyright example inc all rights reserved'
+                 ELSE '' END AS text2
+  FROM tk
+), splitlines AS (
+  SELECT doc_id, string_split(text2, chr(10)) AS ls FROM reshaped
+), rawlines AS (
+  SELECT doc_id, i.i AS ord, trim(ls[i.i]) AS line
+  FROM splitlines, UNNEST(generate_series(1, len(ls))) AS i(i)
+), lines AS (
+  SELECT doc_id, line,
+         ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY ord) - 1 AS pos
+  FROM rawlines WHERE line <> ''
+), dup AS (
+  SELECT line FROM (
+    SELECT line, count(DISTINCT doc_id) AS c FROM lines GROUP BY line
+  ) WHERE c >= 2
+), marked AS (
+  SELECT l.doc_id, l.pos, l.line, (d.line IS NOT NULL) AS is_dup
+  FROM lines l LEFT JOIN dup d ON l.line = d.line
+), per_doc AS (
+  SELECT doc_id, count(*) AS n_lines,
+         sum(CASE WHEN is_dup THEN 1 ELSE 0 END) AS n_removed,
+         coalesce(string_agg(CASE WHEN NOT is_dup THEN line END, chr(10) ORDER BY pos), '') AS new_text
+  FROM marked GROUP BY doc_id
+)
+SELECT d.doc_id, coalesce(p.n_lines, 0) AS n_lines,
+       coalesce(p.n_removed, 0) AS n_removed,
+       coalesce(p.new_text, '') AS new_text
+FROM documents d LEFT JOIN per_doc p ON d.doc_id = p.doc_id
+"""
+
+    _GRAMS_13 = r"""
+tk AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS toks
+  FROM documents
+), grams AS (
+  SELECT doc_id, i.i - 1 AS pos,
+         array_to_string(toks[i.i : i.i + 12], ' ') AS gram
+  FROM tk, UNNEST(generate_series(1, len(toks) - 12)) AS i(i)
+  WHERE len(toks) >= 13
+), dup AS (
+  SELECT gram FROM (
+    SELECT gram, count(DISTINCT doc_id) AS c FROM grams GROUP BY gram
+  ) WHERE c >= 2
+), hits AS (
+  SELECT g.doc_id, g.pos FROM grams g JOIN dup d ON g.gram = d.gram
+), flagged AS (
+  SELECT doc_id, pos,
+         CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) <= 13
+              THEN 0 ELSE 1 END AS ni
+  FROM hits
+), isl AS (
+  SELECT doc_id, pos,
+         sum(ni) OVER (PARTITION BY doc_id ORDER BY pos
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+  FROM flagged
+), spans AS (
+  SELECT doc_id, island, min(pos) AS span_start, max(pos) + 13 AS span_end,
+         count(*) AS n_grams
+  FROM isl GROUP BY doc_id, island
+)
+"""
+    o["dup_substring_spans"] = f"""
+WITH {_GRAMS_13}
+SELECT doc_id, span_start, span_end,
+       span_end - span_start AS span_len, n_grams
+FROM spans
+"""
+
+    o["dup_substring_frac"] = f"""
+WITH {_GRAMS_13}
+, per_doc AS (
+  SELECT doc_id, sum(span_end - span_start) AS dup_tokens,
+         count(*) AS n_spans
+  FROM spans GROUP BY doc_id
+)
+SELECT t.doc_id, len(t.toks) AS n_tokens,
+       coalesce(p.dup_tokens, 0) AS dup_tokens,
+       coalesce(p.n_spans, 0) AS n_spans,
+       round(CASE WHEN len(t.toks) > 0
+                  THEN CAST(coalesce(p.dup_tokens, 0) AS DOUBLE) / len(t.toks)
+                  ELSE 0.0 END, 6) AS dup_frac
+FROM tk t LEFT JOIN per_doc p ON t.doc_id = p.doc_id
+"""
+
+    o["domain_stats"] = r"""
+WITH base AS (
+  SELECT source AS domain, lang,
+         len(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+             x -> x <> '')) AS n_tokens,
+         length(text) AS n_chars
+  FROM documents
+), per_lang AS (
+  SELECT domain, lang, count(*) AS lang_docs, sum(n_tokens) AS lang_tokens,
+         sum(n_chars) AS lang_chars
+  FROM base GROUP BY domain, lang
+), ranked AS (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY domain ORDER BY lang_docs DESC, lang ASC) AS rn
+  FROM per_lang
+)
+SELECT domain,
+       sum(lang_docs) AS n_docs,
+       sum(lang_tokens) AS total_tokens,
+       round(CAST(sum(lang_tokens) AS DOUBLE) / sum(lang_docs), 6) AS avg_tokens,
+       round(CAST(sum(lang_chars) AS DOUBLE) / sum(lang_docs), 6) AS avg_chars,
+       count(*) AS n_langs,
+       max(CASE WHEN rn = 1 THEN lang END) AS top_lang
+FROM ranked GROUP BY domain
+"""
+
+    o["lm_quality"] = r"""
+WITH tk AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+             x -> x <> '') AS arr
+  FROM documents
+), bg AS (
+  SELECT doc_id, arr[i.i] AS w1, arr[i.i + 1] AS w2
+  FROM tk, UNNEST(generate_series(1, len(arr) - 1)) AS i(i)
+  WHERE len(arr) >= 2
+), model AS (
+  SELECT w1, w2, count(*) AS c12 FROM bg GROUP BY w1, w2
+), lt AS (
+  SELECT w1, sum(c12) AS c1 FROM model GROUP BY w1
+), v AS (
+  SELECT count(DISTINCT t.t) AS v
+  FROM (SELECT unnest(arr) AS t FROM tk) t
+), scored AS (
+  SELECT b.doc_id, count(*) AS n_bigrams,
+         round(avg(ln((m.c12 + 1) / (CAST(l.c1 AS DOUBLE) + v.v))), 3) AS lm_score
+  FROM bg b
+  JOIN model m ON b.w1 = m.w1 AND b.w2 = m.w2
+  JOIN lt l ON b.w1 = l.w1
+  CROSS JOIN v
+  GROUP BY b.doc_id
+)
+SELECT d.doc_id, coalesce(s.n_bigrams, 0) AS n_bigrams, s.lm_score
+FROM documents d LEFT JOIN scored s ON d.doc_id = s.doc_id
+"""
+
+    o["terms_agg"] = _with(_TOKS_CTE) + """
+, m AS (SELECT DISTINCT doc_id FROM toks WHERE term = 'value')
+, j AS (SELECT d.lang, d.n_chars FROM documents d JOIN m ON d.doc_id = m.doc_id)
+SELECT lang AS key, count(*) AS doc_count,
+       round(avg(n_chars), 6) AS avg_n_chars
+FROM j GROUP BY lang
+ORDER BY doc_count DESC, key ASC LIMIT 3
 """
 
     return o

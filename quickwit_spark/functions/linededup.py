@@ -1,0 +1,94 @@
+"""Line-level exact dedup across a web corpus (boilerplate removal).
+
+Web pages share exact lines — cookie banners, navigation, "subscribe"
+footers. The standard curation step (CCNet / RefinedWeb / MassiveText
+style) removes every line whose exact text appears in at least
+``min_docs`` DISTINCT documents, from ALL documents, and keeps the
+per-doc remainder in original order.
+
+Plan shape (scale analysis for 100 TB):
+1. split → posexplode: narrow per-row flatMap, no shuffle;
+2. duplicate-line detection groups on ``md5(line)`` — a 32-byte key,
+   NOT the line text — with map-side partial distinct-doc counting
+   (``count_distinct`` over a pre-deduped (hash, doc) projection), so
+   the shuffle carries one row per (line-hash, doc), never the text;
+3. membership join back on the hash: the duplicate set is normally
+   tiny relative to the corpus (boilerplate lines), so AQE will
+   broadcast it; a skewed hash key cannot exist (md5);
+4. one groupBy(doc) re-assembly with ``sort_array`` on (pos, line) —
+   the only full-text shuffle, size ≤ the input text itself.
+
+Everything is built-in JVM expressions — no Python in any hot path —
+and the DuckDB oracle in ``__spark_entry__`` replicates the exact
+semantics (same trim/empty-line rules, same min_docs threshold).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _lines(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """(id, pos, line): trimmed non-empty lines with original index.
+    ``pos`` counts RETAINED lines (post-filter), matching the oracle.
+    """
+    arr = F.transform(F.split(F.col(text_col), "\n"), lambda l: F.trim(l))
+    kept = F.filter(arr, lambda l: l != "")
+    return (
+        df.select(F.col(id_col).alias("doc_id"), F.posexplode(kept).alias("pos", "line"))
+    )
+
+
+def dedup_lines(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_docs: int = 2,
+) -> DataFrame:
+    """Per input doc: ``n_lines`` (trimmed non-empty), ``n_removed``
+    (lines whose exact text occurs in ≥ ``min_docs`` distinct docs),
+    and ``new_text`` — the kept lines re-joined with ``\\n`` in
+    original order ('' when everything was removed).
+
+    Docs whose text has no retained lines at all still appear, with
+    ``n_lines = 0`` and ``new_text = ''``.
+    """
+    lines = _lines(df, text_col, id_col).withColumn("h", F.md5(F.col("line")))
+    dup = (
+        lines.select("h", "doc_id")
+        .distinct()
+        .groupBy("h")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .filter(F.col("n_docs") >= min_docs)
+        .select("h")
+    )
+    marked = lines.join(dup.withColumn("is_dup", F.lit(True)), "h", "left")
+    per_doc = marked.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.sum(F.when(F.col("is_dup"), 1).otherwise(0)).alias("n_removed"),
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(
+                            ~F.coalesce(F.col("is_dup"), F.lit(False)),
+                            F.struct(F.col("pos"), F.col("line")),
+                        )
+                    )
+                ),
+                lambda s: s["line"],
+            ),
+            "\n",
+        ).alias("new_text"),
+    )
+    base = df.select(F.col(id_col).alias("doc_id"))
+    return (
+        base.join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_lines", F.lit(0)).alias("n_lines"),
+            F.coalesce("n_removed", F.lit(0)).alias("n_removed"),
+            F.coalesce("new_text", F.lit("")).alias("new_text"),
+        )
+    )

@@ -6,7 +6,8 @@ splits (quickwit-search/src/collector.rs:289-296,337-353; demo:
 range buckets + nested avg in quickwit-cli/tests/cli.rs:217-305).
 tantivy 0.17 supports: bucket aggs ``range`` and ``histogram``,
 metric aggs ``avg`` and ``stats`` (+ min/max/sum/value_count as
-stats components). Same surface here, executed Spark-first:
+stats components). Same surface here plus the ``terms`` bucket agg
+(the JSON DSL's next addition upstream), executed Spark-first:
 
     matching docs (operators/search.matches_df — no top-k)
       ⋈ docmap fast-field columns (shuffle join — the match set is
@@ -81,6 +82,29 @@ def _range_key(lo, hi) -> str:
     return f"{l}-{h}"
 
 
+def terms_buckets(
+    docs: DataFrame,
+    field: str,
+    size: int = 10,
+    sub_cols: list | None = None,
+) -> DataFrame:
+    """ES ``terms`` bucket aggregation over already-fetched matching
+    docs: one bucket per distinct value, top ``size`` by doc_count
+    desc (ties: key asc).
+
+    tantivy added the terms aggregation right after the reference's
+    pin (same JSON surface); included here because the range/histogram
+    DSL is incomplete for real dashboards without it. Plan shape: one
+    hash aggregation with map-side partials, then a global
+    TakeOrderedAndProject of ``size`` rows — never a full sort of the
+    bucket set.
+    """
+    grouped = docs.groupBy(F.col(field).alias("key")).agg(
+        F.count(F.lit(1)).alias("doc_count"), *(sub_cols or [])
+    )
+    return grouped.orderBy(F.col("doc_count").desc(), F.col("key").asc()).limit(size)
+
+
 def run_aggregations(
     spark: SparkSession,
     index_dir: str,
@@ -92,7 +116,7 @@ def run_aggregations(
     needed: set[str] = set()
     for spec in aggs.values():
         for kind, body in spec.items():
-            if kind in ("range", "histogram"):
+            if kind in ("range", "histogram", "terms"):
                 needed.add(body["field"])
             elif kind in _METRIC_AGGS:
                 needed.add(body["field"])
@@ -143,6 +167,24 @@ def run_aggregations(
                     )
                 buckets.append(b)
             out[name] = {"buckets": buckets}
+        elif "terms" in spec:
+            body = spec["terms"]
+            size = int(body.get("size", 10))
+            total = docs.count()
+            top = terms_buckets(docs, body["field"], size, sub_cols).collect()
+            buckets = []
+            in_top = 0
+            for r in top:
+                b = {"key": r["key"], "doc_count": int(r["doc_count"])}
+                in_top += int(r["doc_count"])
+                for sname, sspec in sub_aggs.items():
+                    b[sname] = _metric_result(sname, sspec, r)
+                buckets.append(b)
+            out[name] = {
+                "buckets": buckets,
+                "sum_other_doc_count": int(total - in_top),
+                "doc_count_error_upper_bound": 0,
+            }
         elif "histogram" in spec:
             body = spec["histogram"]
             col = F.col(body["field"]).cast("double")

@@ -1,0 +1,228 @@
+"""Web-corpus curation ops (round 4): URL normalization + dedup,
+line-level dedup, exact duplicate-substring spans, domain stats,
+bigram-LM quality, terms aggregation.
+
+Semantics tests on hand-built corpora with hand-computed expectations
+(the exact-oracle parity against DuckDB lives in __spark_entry__ /
+scripts/check_correctness.py); plus plan assertions that the hot
+paths stay JVM-side (no Python eval nodes).
+"""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from quickwit_spark.functions.domains import domain_stats
+from quickwit_spark.functions.linededup import dedup_lines
+from quickwit_spark.functions.lmquality import bigram_lm_score
+from quickwit_spark.functions.substring_dedup import (
+    duplicate_spans,
+    duplicated_fraction,
+)
+from quickwit_spark.functions.urlnorm import dedup_urls, normalize_url
+
+
+def _no_python_eval(df):
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+# ------------------------------------------------------------ urlnorm
+URL_CASES = [
+    ("HTTP://WWW.Ex.COM:80//a//b/?utm_source=x&b=2&a=1#f", "http://ex.com/a/b?a=1&b=2"),
+    ("https://Site.org:443/path/", "https://site.org/path"),
+    ("site.org/p?x=1&x=0&ref=abc", "http://site.org/p?x=0&x=1"),
+    ("http://h.com/?", "http://h.com"),
+    ("ftp://Host:80/x", "ftp://host:80/x"),  # non-http port kept
+    ("http://h.com:8080/a/", "http://h.com:8080/a"),  # non-default port kept
+    ("www.h.com/#only-frag", "http://h.com"),
+    ("http://h.com/a///?gclid=1&z", "http://h.com/a?z"),
+]
+
+
+def test_normalize_url_cases(spark):
+    df = spark.createDataFrame([(u,) for u, _ in URL_CASES], "url string")
+    out = df.select(normalize_url(F.col("url")).alias("n"))
+    _no_python_eval(out)
+    got = [r["n"] for r in out.collect()]
+    assert got == [e for _, e in URL_CASES]
+
+
+def test_dedup_urls_single_shuffle_min_id(spark):
+    rows = [
+        (1, "http://A.com/x?b=1&a=1"),
+        (7, "HTTP://a.com:80/x/?a=1&b=1#frag"),
+        (3, "http://www.a.com/x?utm_c=9&a=1&b=1"),
+        (9, "https://a.com/x?a=1&b=1"),  # different scheme -> distinct
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, url string")
+    out = dedup_urls(df)
+    got = {r["url_norm"]: (r["kept_doc_id"], r["n_dups"]) for r in out.collect()}
+    assert got == {
+        "http://a.com/x?a=1&b=1": (1, 2),
+        "https://a.com/x?a=1&b=1": (9, 0),
+    }
+    # exactly ONE shuffle stage: the groupBy on the canonical key (AQE
+    # prints the exchange twice — count materialized shuffle stages)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("ShuffleQueryStage") == 1
+    _no_python_eval(out)
+
+
+# --------------------------------------------------------- line dedup
+def test_dedup_lines_removes_cross_doc_boilerplate(spark):
+    rows = [
+        (0, "subscribe now\nalpha beta\ngamma delta"),
+        (1, "subscribe now\nepsilon zeta"),
+        (2, "  subscribe now  \nunique line here\n\n"),
+        (3, "all original\ncontent kept"),
+        (4, ""),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in dedup_lines(df).collect()}
+    assert len(out) == 5
+    # 'subscribe now' occurs (trimmed) in 3 docs -> removed everywhere
+    assert out[0]["new_text"] == "alpha beta\ngamma delta"
+    assert (out[0]["n_lines"], out[0]["n_removed"]) == (3, 1)
+    assert out[1]["new_text"] == "epsilon zeta"
+    assert out[2]["new_text"] == "unique line here"
+    assert out[2]["n_lines"] == 2  # empty line dropped pre-count
+    assert out[3] ["n_removed"] == 0
+    assert (out[4]["n_lines"], out[4]["new_text"]) == (0, "")
+
+
+def test_dedup_lines_min_docs_threshold(spark):
+    rows = [(0, "dup line\na"), (1, "dup line\nb"), (2, "c")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    strict = {r["doc_id"]: r for r in dedup_lines(df, min_docs=3).collect()}
+    assert strict[0]["n_removed"] == 0  # only 2 docs share it
+    loose = {r["doc_id"]: r for r in dedup_lines(df, min_docs=2).collect()}
+    assert loose[0]["n_removed"] == 1 and loose[1]["n_removed"] == 1
+
+
+# ------------------------------------------------- substring spans
+def test_duplicate_spans_island_merge(spark):
+    # docs 0 and 1 share tokens 10..19 (a 10-token run); with k=4 the
+    # shared seed windows merge into ONE maximal span per doc
+    shared = " ".join(f"s{i}" for i in range(10))
+    rows = [
+        (0, " ".join(f"a{i}" for i in range(10)) + " " + shared + " a-tail"),
+        (1, " ".join(f"b{i}" for i in range(10)) + " " + shared + " b-tail"),
+        (2, "totally unrelated words only here"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    spans = duplicate_spans(df, k=4, min_docs=2).collect()
+    got = {(r["doc_id"], r["span_start"], r["span_end"]) for r in spans}
+    # shared run occupies token positions 10..19 in both docs
+    assert got == {(0, 10, 20), (1, 10, 20)}
+    for r in spans:
+        assert r["span_len"] == 10 and r["n_grams"] == 7  # 10-4+1 seeds
+    _no_python_eval(duplicate_spans(df, k=4))
+
+
+def test_duplicate_spans_adjacent_islands_split(spark):
+    # two shared runs separated by a gap > k stay separate spans
+    run1 = " ".join(f"x{i}" for i in range(5))
+    run2 = " ".join(f"y{i}" for i in range(5))
+    gap0 = " ".join(f"g{i}" for i in range(8))
+    gap1 = " ".join(f"h{i}" for i in range(8))
+    rows = [
+        (0, run1 + " " + gap0 + " " + run2),
+        (1, run1 + " " + gap1 + " " + run2),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    spans = duplicate_spans(df, k=5, min_docs=2).collect()
+    got = sorted((r["doc_id"], r["span_start"], r["span_end"]) for r in spans)
+    assert got == [(0, 0, 5), (0, 13, 18), (1, 0, 5), (1, 13, 18)]
+
+
+def test_duplicated_fraction(spark):
+    shared = " ".join(f"s{i}" for i in range(6))
+    rows = [
+        (0, shared + " " + " ".join(f"a{i}" for i in range(6))),
+        (1, shared + " " + " ".join(f"b{i}" for i in range(6))),
+        (2, "nothing shared at all"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in duplicated_fraction(df, k=6, min_docs=2).collect()}
+    assert out[0]["dup_tokens"] == 6 and out[0]["n_tokens"] == 12
+    assert out[0]["dup_frac"] == 0.5
+    assert out[2]["dup_tokens"] == 0 and out[2]["dup_frac"] == 0.0
+    assert len(out) == 3  # docs with no spans still present
+
+
+# ------------------------------------------------------ domain stats
+def test_domain_stats_modal_lang_tiebreak(spark):
+    rows = [
+        (0, "one two", "en", "d1"),
+        (1, "three four five", "de", "d1"),
+        (2, "six", "en", "d1"),
+        (3, "sept huit", "fr", "d2"),
+        (4, "neuf", "de", "d2"),  # fr/de tie at 1 doc -> 'de' (lex min)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string, source string")
+    out = {r["domain"]: r for r in domain_stats(df).collect()}
+    assert out["d1"]["n_docs"] == 3 and out["d1"]["n_langs"] == 2
+    assert out["d1"]["top_lang"] == "en"
+    assert out["d1"]["total_tokens"] == 6
+    assert out["d2"]["top_lang"] == "de"
+
+
+# -------------------------------------------------------- LM quality
+def test_bigram_lm_score_hand_computed(spark):
+    # corpus: "a b a b", "a b", "x"; bigrams: (a,b)x3, (b,a)x1
+    # V=3 (a, b, x); c(a,.)=3, c(b,.)=1
+    rows = [(0, "a b a b"), (1, "a b"), (2, "x")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in bigram_lm_score(df).collect()}
+    lp_ab = math.log((3 + 1) / (3 + 3))
+    lp_ba = math.log((1 + 1) / (1 + 3))
+    assert out[0]["n_bigrams"] == 3
+    assert out[0]["lm_score"] == pytest.approx(
+        round((2 * lp_ab + lp_ba) / 3, 3), abs=1e-9
+    )
+    assert out[1]["lm_score"] == pytest.approx(round(lp_ab, 3), abs=1e-9)
+    # single-token doc: no bigrams, NULL score
+    assert out[2]["n_bigrams"] == 0 and out[2]["lm_score"] is None
+    _no_python_eval(bigram_lm_score(df))
+
+
+# ------------------------------------------------- terms aggregation
+def test_terms_aggregation_over_index(spark, built_index):
+    from quickwit_spark.operators.aggregations import run_aggregations
+    from quickwit_spark.operators.search import SearchRequest
+
+    out = run_aggregations(
+        spark,
+        built_index,
+        SearchRequest(query="the"),
+        {
+            "langs": {
+                "terms": {"field": "lang", "size": 2},
+                "aggs": {"avg_len": {"avg": {"field": "len_text"}}},
+            }
+        },
+    )
+    buckets = out["langs"]["buckets"]
+    assert 1 <= len(buckets) <= 2
+    # ordered by doc_count desc
+    counts = [b["doc_count"] for b in buckets]
+    assert counts == sorted(counts, reverse=True)
+    assert all(b["avg_len"]["value"] > 0 for b in buckets)
+    total_matching = out["langs"]["sum_other_doc_count"] + sum(counts)
+    assert total_matching >= sum(counts)
+    assert out["langs"]["doc_count_error_upper_bound"] == 0
+
+
+def test_terms_buckets_tie_break_key_asc(spark):
+    df = spark.createDataFrame(
+        [(i, l) for i, l in enumerate(["b", "b", "a", "a", "c"])],
+        "doc_id long, lang string",
+    )
+    from quickwit_spark.operators.aggregations import terms_buckets
+
+    rows = terms_buckets(df, "lang", size=2).collect()
+    assert [(r["key"], r["doc_count"]) for r in rows] == [("a", 2), ("b", 2)]
