@@ -471,6 +471,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["chunk_docs"] = chunk_docs
 
+    def pack_seqs(spark, sf_dir):
+        from quickwit_spark.functions.packing import pack_sequences
+
+        return pack_sequences(
+            _docs(spark, sf_dir), capacity=128, num_buckets=8
+        )
+
+    q["pack_sequences"] = pack_seqs
+
+    def pack_assemble(spark, sf_dir):
+        from quickwit_spark.functions.packing import (
+            assemble_sequences,
+            pack_sequences,
+        )
+
+        return assemble_sequences(
+            pack_sequences(_docs(spark, sf_dir), capacity=128, num_buckets=8)
+        )
+
+    q["pack_assemble"] = pack_assemble
+
     # ---- deduplication ----
     q["dedup_exact"] = lambda s, d: dedup.exact_dup_groups(_docs(s, d)).select(
         F.col("key").alias("doc_id"), "content_hash", "group_size", "is_canonical"
@@ -1070,6 +1091,73 @@ SELECT doc_id,
   CAST(least(64, n - start) AS BIGINT) AS n_chunk_tokens,
   array_to_string(toks[start + 1 : least(start + 64, n)], ' ') AS chunk_text
 FROM st
+"""
+
+    o["pack_sequences"] = r"""
+WITH base AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS toks
+  FROM documents
+), sized AS (
+  SELECT doc_id, toks, len(toks) AS n FROM base WHERE len(toks) > 0
+), pre AS (
+  SELECT doc_id, toks, n,
+         CAST(coalesce(SUM(n) OVER (ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+           AS o
+  FROM sized
+), ex AS (
+  SELECT doc_id, toks, n, o,
+         unnest(range(o // 128, (o + n - 1) // 128 + 1)) AS seq_id
+  FROM pre
+)
+SELECT doc_id,
+  CAST(seq_id AS BIGINT) AS seq_id,
+  CAST(greatest(o, seq_id * 128) - seq_id * 128 AS BIGINT) AS seq_tok_start,
+  CAST(greatest(o, seq_id * 128) - o AS BIGINT) AS doc_tok_start,
+  CAST(least(o + n, (seq_id + 1) * 128) - greatest(o, seq_id * 128)
+       AS BIGINT) AS n_toks,
+  array_to_string(
+    toks[CAST(greatest(o, seq_id * 128) - o + 1 AS BIGINT)
+         : CAST(least(o + n, (seq_id + 1) * 128) - o AS BIGINT)], ' '
+  ) AS piece_text
+FROM ex
+"""
+
+    o["pack_assemble"] = r"""
+WITH base AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS toks
+  FROM documents
+), sized AS (
+  SELECT doc_id, toks, len(toks) AS n FROM base WHERE len(toks) > 0
+), pre AS (
+  SELECT doc_id, toks, n,
+         CAST(coalesce(SUM(n) OVER (ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+           AS o
+  FROM sized
+), ex AS (
+  SELECT doc_id, toks, n, o,
+         unnest(range(o // 128, (o + n - 1) // 128 + 1)) AS seq_id
+  FROM pre
+), pieces AS (
+  SELECT CAST(seq_id AS BIGINT) AS seq_id,
+    CAST(greatest(o, seq_id * 128) - seq_id * 128 AS BIGINT)
+      AS seq_tok_start,
+    CAST(least(o + n, (seq_id + 1) * 128) - greatest(o, seq_id * 128)
+         AS BIGINT) AS n_toks,
+    array_to_string(
+      toks[CAST(greatest(o, seq_id * 128) - o + 1 AS BIGINT)
+           : CAST(least(o + n, (seq_id + 1) * 128) - o AS BIGINT)], ' '
+    ) AS piece_text
+  FROM ex
+)
+SELECT seq_id,
+  CAST(sum(n_toks) AS BIGINT) AS n_toks,
+  count(*) AS n_pieces,
+  string_agg(piece_text, ' ' ORDER BY seq_tok_start) AS seq_text
+FROM pieces GROUP BY seq_id
 """
 
     o["dedup_exact"] = _with(_TOKS_CTE) + """

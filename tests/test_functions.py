@@ -701,3 +701,124 @@ def test_ivf_ann_auto_matmul_matches_fold_beyond_threshold(spark):
     assert auto == fold and len(auto) == 7
     with pytest.raises(ValueError, match="assign_mode"):
         sim.ivf_ann(df, qvec, cents, assign_mode="nope")
+
+
+# ---------------------------------------------------------------- packing
+
+def _brute_pack(docs, capacity):
+    """Reference concat-and-split packing: docs = [(key, text)]."""
+    out = []
+    o = 0
+    for key, text in sorted(docs):
+        toks = [t for t in text.split() if t]
+        n = len(toks)
+        if n == 0:
+            continue
+        for seq_id in range(o // capacity, (o + n - 1) // capacity + 1):
+            start = max(o, seq_id * capacity)
+            stop = min(o + n, (seq_id + 1) * capacity)
+            out.append(
+                (
+                    key,
+                    seq_id,
+                    start - seq_id * capacity,
+                    start - o,
+                    stop - start,
+                    " ".join(toks[start - o : stop - o]),
+                )
+            )
+        o += n
+    return sorted(out)
+
+
+def test_pack_sequences_matches_bruteforce(spark):
+    from quickwit_spark.functions.packing import pack_sequences
+
+    rng = np.random.default_rng(5)
+    docs = []
+    for i in range(40):
+        n = int(rng.integers(0, 12))
+        docs.append((i, " ".join(f"d{i}t{j}" for j in range(n))))
+    docs.append((40, " ".join(f"long{j}" for j in range(23))))  # spans 4 seqs
+    docs.append((41, "   "))  # whitespace-only: no tokens
+    df = spark.createDataFrame(docs, "doc_id long, text string").repartition(5)
+
+    got = sorted(
+        tuple(r)
+        for r in pack_sequences(df, capacity=7, num_buckets=4).collect()
+    )
+    assert got == _brute_pack(docs, 7)
+
+
+def test_pack_sequences_reconstructs_stream_and_fills_capacity(spark):
+    from quickwit_spark.functions.packing import pack_sequences
+
+    docs = [(i, " ".join(f"w{i}_{j}" for j in range(i % 9))) for i in range(30)]
+    cap = 16
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    rows = pack_sequences(df, capacity=cap, num_buckets=3).collect()
+
+    # every sequence except the last is exactly full
+    per_seq = {}
+    for r in rows:
+        per_seq.setdefault(r["seq_id"], []).append(r)
+    last = max(per_seq)
+    for sid, rs in per_seq.items():
+        total = sum(r["n_toks"] for r in rs)
+        assert total == cap or (sid == last and total <= cap)
+        # pieces tile the sequence contiguously
+        spans = sorted((r["seq_tok_start"], r["n_toks"]) for r in rs)
+        pos = 0
+        for s, n in spans:
+            assert s == pos
+            pos += n
+
+    # concatenating pieces in (seq_id, seq_tok_start) order reproduces
+    # the doc-order token stream
+    stream = " ".join(
+        r["piece_text"]
+        for r in sorted(rows, key=lambda r: (r["seq_id"], r["seq_tok_start"]))
+    )
+    expected = " ".join(t for _, text in sorted(docs) for t in text.split())
+    assert stream == expected
+
+
+def test_pack_sequences_no_single_partition_prefix(spark):
+    from quickwit_spark.functions.packing import pack_sequences
+
+    df = spark.createDataFrame(
+        [(i, "a b c") for i in range(50)], "doc_id long, text string"
+    )
+    out = pack_sequences(df, capacity=8, num_buckets=4)
+    plan = (
+        out._jdf.queryExecution().executedPlan().toString()
+    )
+    # the global prefix sum must NOT serialize into one task: the only
+    # exchanges are the bucket hash exchange + the broadcast of offsets
+    assert "Exchange SinglePartition" not in plan
+    assert "BroadcastExchange" in plan
+    with pytest.raises(ValueError):
+        pack_sequences(df, capacity=0)
+
+
+def test_assemble_sequences_full_rows(spark):
+    from quickwit_spark.functions.packing import (
+        assemble_sequences,
+        pack_sequences,
+    )
+
+    docs = [(i, " ".join(f"w{i}_{j}" for j in range(3 + i % 7))) for i in range(25)]
+    cap = 10
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    rows = assemble_sequences(
+        pack_sequences(df, capacity=cap, num_buckets=3)
+    ).collect()
+    by_id = {r["seq_id"]: r for r in rows}
+    assert sorted(by_id) == list(range(len(rows)))  # dense ids from 0
+    stream = [t for _, text in sorted(docs) for t in text.split()]
+    for sid, r in by_id.items():
+        toks = r["seq_text"].split()
+        assert len(toks) == r["n_toks"]
+        assert toks == stream[sid * cap : sid * cap + cap]
+        if sid < max(by_id):
+            assert r["n_toks"] == cap
