@@ -1766,7 +1766,7 @@ FROM documents d LEFT JOIN scored s ON d.doc_id = s.doc_id
 , j AS (SELECT d.lang, d.n_chars FROM documents d JOIN m ON d.doc_id = m.doc_id)
 SELECT lang AS key, count(*) AS doc_count,
        round(avg(n_chars), 6) AS avg_n_chars
-FROM j GROUP BY lang
+FROM j WHERE lang IS NOT NULL GROUP BY lang
 ORDER BY doc_count DESC, key ASC LIMIT 3
 """
 

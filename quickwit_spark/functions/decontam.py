@@ -54,7 +54,9 @@ def contamination_check(
         F.explode(shingle_col(F.col(btc), k)).alias("gram")
     ).distinct()
     if max_benchmark_grams is not None:
-        # count(limit n+1) — an early-stopping guard, not a full count
+        # count(limit n+1) — an early-stopping guard, not a full count:
+        # a runaway benchmark (10^10 grams) stops at n+1 rows instead
+        # of paying a full distinct scan before failing
         probe = bench_grams.limit(max_benchmark_grams + 1).count()
         if probe > max_benchmark_grams:
             raise ValueError(
@@ -62,11 +64,28 @@ def contamination_check(
                 f"{k}-grams — too large to broadcast; raise "
                 "max_benchmark_grams or pre-reduce the benchmark"
             )
-    if max_benchmark_gram_bytes is not None:
+    if max_benchmark_gram_bytes is not None and max_benchmark_grams is not None:
         # row count bounds cardinality, not payload: 1M grams of long
-        # strings can still be hundreds of MB. One distributed agg over
-        # the (already row-bounded) distinct set bounds actual bytes
-        # before the broadcast is forced.
+        # strings can still be hundreds of MB. The set is row-bounded
+        # now, so collect it ONCE — the same materialization serves the
+        # byte guard AND the broadcast side below, instead of the
+        # explode+distinct shuffle executing a third time when the
+        # broadcast builds.
+        grams = [r["gram"] for r in bench_grams.collect()]
+        est = sum(len(g.encode("utf-8")) for g in grams)
+        if est > max_benchmark_gram_bytes:
+            raise ValueError(
+                f"benchmark gram set is ~{est} bytes of strings — over "
+                f"the {max_benchmark_gram_bytes}-byte broadcast guard; "
+                "raise max_benchmark_gram_bytes or pre-reduce the "
+                "benchmark"
+            )
+        bench_grams = benchmark.sparkSession.createDataFrame(
+            [(g,) for g in grams], "gram string"
+        )
+    elif max_benchmark_gram_bytes is not None:
+        # byte guard without a row bound: stay distributed (an
+        # unbounded collect would be its own hazard)
         est = bench_grams.agg(
             F.coalesce(F.sum(F.octet_length("gram")), F.lit(0)).alias("b")
         ).collect()[0][0]

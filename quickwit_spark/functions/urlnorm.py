@@ -18,7 +18,8 @@ the DuckDB oracle in ``__spark_entry__`` is exact.
 
 Canonicalization contract (applied in order):
 1. trim surrounding whitespace; strip the ``#fragment``;
-2. scheme lowercased (absent scheme → ``http``);
+2. scheme lowercased (absent scheme → ``http``; protocol-relative
+   ``//host/path`` → ``http://host/path``);
 3. host lowercased, leading ``www.`` stripped, default port
    (``:80`` http, ``:443`` https) stripped;
 4. path: runs of ``/`` collapsed to one, trailing ``/`` stripped
@@ -60,8 +61,12 @@ def normalize_url(url: Column) -> Column:
     """Canonical URL per the module contract — one nested JVM
     expression, no Python, no shuffle."""
     u = F.regexp_replace(F.trim(url), r"#.*$", "")
-    # absent scheme -> prepend http:// so the component regexes apply
-    u = F.when(u.rlike(_SCHEME_RE), u).otherwise(F.concat(F.lit("http://"), u))
+    # absent scheme -> prepend http:// so the component regexes apply;
+    # protocol-relative '//host/path' (common in crawl hrefs) first
+    # drops its leading slashes so the host isn't swallowed by the path
+    u = F.when(u.rlike(_SCHEME_RE), u).otherwise(
+        F.concat(F.lit("http://"), F.regexp_replace(u, r"^//", ""))
+    )
     scheme = F.lower(F.regexp_extract(u, _SCHEME_RE, 1))
     host = F.lower(F.regexp_extract(u, _HOST_RE, 1))
     host = F.regexp_replace(host, r"^www\.", "")
@@ -124,7 +129,9 @@ WITH s0 AS (
   SELECT regexp_replace(trim({url_expr}), '#.*$', '') AS u0
 ), s1 AS (
   SELECT CASE WHEN regexp_matches(u0, '{_SCHEME_RE}')
-              THEN u0 ELSE 'http://' || u0 END AS u FROM s0
+              THEN u0
+              ELSE 'http://' || regexp_replace(u0, '^//', '') END AS u
+  FROM s0
 ), parts AS (
   -- DuckDB regexp_extract is NULL on no-match where Spark's is '' —
   -- coalesce each component to keep the two engines aligned

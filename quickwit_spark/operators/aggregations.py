@@ -98,9 +98,16 @@ def terms_buckets(
     hash aggregation with map-side partials, then a global
     TakeOrderedAndProject of ``size`` rows — never a full sort of the
     bucket set.
+
+    ES/tantivy terms semantics: docs MISSING the field are ignored —
+    they produce no bucket and don't count toward
+    ``sum_other_doc_count`` (no ``{"key": null}`` bucket, which no
+    ES-compatible client expects).
     """
-    grouped = docs.groupBy(F.col(field).alias("key")).agg(
-        F.count(F.lit(1)).alias("doc_count"), *(sub_cols or [])
+    grouped = (
+        docs.filter(F.col(field).isNotNull())
+        .groupBy(F.col(field).alias("key"))
+        .agg(F.count(F.lit(1)).alias("doc_count"), *(sub_cols or []))
     )
     return grouped.orderBy(F.col("doc_count").desc(), F.col("key").asc()).limit(size)
 
@@ -126,6 +133,14 @@ def run_aggregations(
                         if k2 in _METRIC_AGGS:
                             needed.add(b2["field"])
     docs = fetch_docs(spark, index_dir, matches, columns=sorted(needed), bounded=False)
+    # each agg spec runs >=1 job over the matched-docs lineage (terms
+    # runs 2: top-N + the non-missing total); persist it whenever more
+    # than one job will execute so the expensive match+fetch join is
+    # computed once, the way the reference's single collector pass is
+    n_jobs = len(aggs) + sum(1 for spec in aggs.values() if "terms" in spec)
+    persisted = n_jobs > 1
+    if persisted:
+        docs = docs.persist()
 
     out: dict = {}
     for name, spec in aggs.items():
@@ -170,7 +185,9 @@ def run_aggregations(
         elif "terms" in spec:
             body = spec["terms"]
             size = int(body.get("size", 10))
-            total = docs.count()
+            # ES semantics: sum_other_doc_count counts docs WITH the
+            # field that fell outside the top buckets
+            total = docs.filter(F.col(body["field"]).isNotNull()).count()
             top = terms_buckets(docs, body["field"], size, sub_cols).collect()
             buckets = []
             in_top = 0
@@ -211,6 +228,8 @@ def run_aggregations(
                     break
             row = docs.agg(*cols).collect()[0]
             out[name] = _metric_result(name, spec, row)
+    if persisted:
+        docs.unpersist()
     return out
 
 

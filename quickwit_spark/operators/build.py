@@ -464,6 +464,7 @@ def _make_partial_merger(
         BLOCK_SIZE,
         _ragged_gather,
         _varbyte_lengths,
+        position_byte_ranges,
         varbyte_decode,
         varbyte_encode,
     )
@@ -600,33 +601,10 @@ def _make_partial_merger(
                         "partials of one term disagree on positions "
                         "presence — positions would be silently dropped"
                     )
-                tfs_i = tfs.astype(np.int64)
-                val_cnt = np.where(valid_rows, ttf, 0).astype(np.int64)
-                val_base = np.cumsum(val_cnt) - val_cnt
-                cont = (p_val & 0x80) != 0
-                val_starts = (
-                    np.flatnonzero(np.concatenate(([True], ~cont[:-1])))
-                    if p_val.size
-                    else np.empty(0, dtype=np.int64)
-                )
-                if val_starts.size != int(val_cnt.sum()):
-                    raise ValueError(
-                        f"positions stream holds {val_starts.size} values, "
-                        f"total_tf of position rows sums to {int(val_cnt.sum())}"
-                    )
-                byte_bound = np.append(val_starts, p_val.size).astype(np.int64)
                 row_of_entry = np.repeat(np.arange(n), dfreq)
-                excg = np.cumsum(tfs_i) - tfs_i
-                vstart = val_base[row_of_entry] + (
-                    excg - np.repeat(excg[row_ent[:-1]], dfreq)
-                )
-                ent_valid = valid_rows[row_of_entry]
-                pos_cell_lo = np.zeros(total, dtype=np.int64)
-                pos_cell_len = np.zeros(total, dtype=np.int64)
-                iv = np.flatnonzero(ent_valid)
-                pos_cell_lo[iv] = byte_bound[vstart[iv]]
-                pos_cell_len[iv] = (
-                    byte_bound[vstart[iv] + tfs_i[iv]] - pos_cell_lo[iv]
+                pos_cell_lo, pos_cell_len = position_byte_ranges(
+                    p_val, valid_rows, ttf, tfs, dfreq, row_ent,
+                    row_of_entry, total,
                 )
             ent_term = np.repeat(
                 np.arange(T, dtype=np.int64), ends_td - starts_td

@@ -216,6 +216,63 @@ def _ragged_gather(offs: np.ndarray, lens: np.ndarray) -> np.ndarray:
     )
 
 
+def position_byte_ranges(
+    p_val: np.ndarray,
+    valid_rows: np.ndarray,
+    ttf: np.ndarray,
+    tfs: np.ndarray,
+    dfreq: np.ndarray,
+    row_ent: np.ndarray,
+    row_of_entry: np.ndarray,
+    total: int,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Per-entry ``[lo, len)`` byte ranges of each doc's positions
+    slice within one flattened positions stream.
+
+    Each doc's positions are a SELF-CONTAINED byte slice (the first
+    gap is absolute per doc), so posting merges/rewrites can permute
+    raw byte ranges without decoding. Shared by the map-side partial
+    merger (build._make_partial_merger) and the demux/sorted-merge
+    rewrite (merge.remap_postings_arrow) — the slicing invariant
+    (varbyte continuation-bit boundaries vs total_tf accounting) must
+    stay identical on both paths or merged position streams corrupt.
+
+    Inputs: ``p_val`` flat uint8 positions bytes of all valid rows
+    concatenated; ``valid_rows`` bool per posting row; ``ttf`` int64
+    total_tf per row; ``tfs`` int64 per entry; ``dfreq`` int64
+    doc_freq per row; ``row_ent`` int64 prefix starts per row (so
+    ``row_ent[:-1]`` indexes each row's first entry);
+    ``row_of_entry`` int64 owning row per entry; ``total`` entry
+    count. Fails loudly when the byte stream's value count disagrees
+    with the total_tf accounting."""
+    tfs = np.asarray(tfs).astype(np.int64, copy=False)
+    val_cnt = np.where(valid_rows, ttf, 0).astype(np.int64)
+    val_base = np.cumsum(val_cnt) - val_cnt
+    cont = (p_val & 0x80) != 0
+    val_starts = (
+        np.flatnonzero(np.concatenate(([True], ~cont[:-1])))
+        if p_val.size
+        else np.empty(0, dtype=np.int64)
+    )
+    if val_starts.size != int(val_cnt.sum()):
+        raise ValueError(
+            f"positions stream holds {val_starts.size} values, "
+            f"total_tf of position rows sums to {int(val_cnt.sum())}"
+        )
+    byte_bound = np.append(val_starts, p_val.size).astype(np.int64)
+    excg = np.cumsum(tfs) - tfs
+    vstart = val_base[row_of_entry] + (
+        excg - np.repeat(excg[row_ent[:-1]], dfreq)
+    )
+    ent_valid = valid_rows[row_of_entry]
+    b_lo = np.zeros(total, dtype=np.int64)
+    b_len = np.zeros(total, dtype=np.int64)
+    iv = np.flatnonzero(ent_valid)
+    b_lo[iv] = byte_bound[vstart[iv]]
+    b_len[iv] = byte_bound[vstart[iv] + tfs[iv]] - b_lo[iv]
+    return b_lo, b_len
+
+
 def decode_positions_selected(
     pos_bytes: bytes, tfs: np.ndarray, doc_idx: np.ndarray
 ) -> tuple[np.ndarray, np.ndarray]:

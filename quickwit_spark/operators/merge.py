@@ -60,6 +60,7 @@ def remap_postings_arrow(post_tbl, map_tbl):
     from quickwit_spark.operators.codec import (
         _ragged_gather,
         _varbyte_lengths,
+        position_byte_ranges,
         varbyte_decode,
         varbyte_encode,
     )
@@ -124,30 +125,9 @@ def remap_postings_arrow(post_tbl, map_tbl):
     if valid_rows.any():
         ttf = post_tbl.column("total_tf").to_numpy().astype(np.int64, copy=False)
         p_off, p_val = _flat_binary(posb)
-        val_cnt = np.where(valid_rows, ttf, 0).astype(np.int64)
-        val_base = np.cumsum(val_cnt) - val_cnt
-        cont = (p_val & 0x80) != 0
-        val_starts = (
-            np.flatnonzero(np.concatenate(([True], ~cont[:-1])))
-            if p_val.size
-            else np.empty(0, dtype=np.int64)
+        b_lo, b_len = position_byte_ranges(
+            p_val, valid_rows, ttf, tfs, dfreq, row_ent, row_of_entry, total
         )
-        if val_starts.size != int(val_cnt.sum()):
-            raise ValueError(
-                f"positions stream holds {val_starts.size} values, "
-                f"total_tf of position rows sums to {int(val_cnt.sum())}"
-            )
-        byte_bound = np.append(val_starts, p_val.size).astype(np.int64)
-        excg = np.cumsum(tfs) - tfs
-        vstart = val_base[row_of_entry] + (
-            excg - np.repeat(excg[row_ent[:-1]], dfreq)
-        )
-        ent_valid = valid_rows[row_of_entry]
-        b_lo = np.zeros(total, dtype=np.int64)
-        b_len = np.zeros(total, dtype=np.int64)
-        iv = np.flatnonzero(ent_valid)
-        b_lo[iv] = byte_bound[vstart[iv]]
-        b_len[iv] = byte_bound[vstart[iv] + tfs[iv]] - b_lo[iv]
 
     # ONE stable sort to (input row, target split, new doc) order —
     # the group's entire rewrite is this permutation

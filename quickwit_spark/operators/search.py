@@ -63,28 +63,41 @@ class Searcher:
     def fresh(self) -> bool:
         return self._stamp is not None and self._stamp == self.ms.state_token()
 
-    def table(self, name: str) -> DataFrame:
-        """Resolved DataFrame for 'postings' | 'fastfields' | 'docmap'.
-
-        Self-validating: a DataFrame's file listing is frozen when
-        ``spark.read.parquet`` resolves it, so a Searcher held across a
-        concurrent publish/merge/demux/GC would otherwise keep reading
-        a replaced split's files. Every call re-checks the metastore
-        state token and drops the cache on staleness."""
+    def snapshot(self) -> dict[str, DataFrame]:
+        """All three tables ('postings', 'fastfields', 'docmap')
+        resolved under ONE state-token check — a request-consistent
+        view. A request must take one snapshot up front and read every
+        table from it: re-validating per ``table()`` call would let a
+        publish landing mid-request mix tables from two index states
+        (pre-publish postings joined against post-publish fastfields
+        silently drops every hit of a replaced split)."""
         tok = self.ms.state_token()
-        if tok != self._stamp:
-            self._dfs.clear()
-            self._stamp = tok
-        df = self._dfs.get(name)
-        if df is None:
+        if tok != self._stamp or len(self._dfs) < 4:
             paths = {
                 "postings": self.ms.postings_dir(),
                 "fastfields": os.path.join(self.ms.index_dir, "fastfields"),
                 "docmap": self.ms.docmap_dir(),
             }
-            df = self.spark.read.parquet(paths[name])
-            self._dfs[name] = df
-        return df
+            dfs: dict = {
+                name: self.spark.read.parquet(p) for name, p in paths.items()
+            }
+            # the published-splits list belongs to the same state: a
+            # list from a different token than the file listings would
+            # prune against splits whose files the scans don't have
+            dfs["splits"] = self.ms.list_published()
+            self._dfs = dfs
+            self._stamp = tok
+        return dict(self._dfs)
+
+    def table(self, name: str) -> DataFrame:
+        """Single resolved table, re-validated against the metastore
+        state token on every call (a DataFrame's file listing is frozen
+        at ``spark.read.parquet`` time, so a Searcher held across a
+        concurrent publish/merge/demux/GC would otherwise keep reading
+        a replaced split's files). For multi-table requests use
+        ``snapshot()`` — mixing per-call ``table()`` reads can tear
+        across a concurrent publish."""
+        return self.snapshot()[name]
 
 
 _searchers: dict[tuple[str, str], Searcher] = {}
@@ -176,26 +189,29 @@ def filter_split_ids(df: DataFrame, split_ids) -> DataFrame:
 
 
 def _scan_inputs(
-    searcher: Searcher,
+    tables: dict,
     ast,
     split_ids: list[int],
     need_ts: str | None,
     extra_ff: list[str] = (),
 ):
-    """Pruned scans of postings + fastfields for the query."""
+    """Pruned scans of postings + fastfields for the query.
+
+    ``tables`` is one ``Searcher.snapshot()`` — both scans come from
+    the same index state by construction."""
     terms = query_terms(ast)
     fields = sorted({t.field for t in terms})
     term_strs = sorted({t.term for t in terms})
-    postings = filter_split_ids(searcher.table("postings"), split_ids).filter(
+    postings = filter_split_ids(tables["postings"], split_ids).filter(
         F.col("field").isin(fields) & F.col("term").isin(term_strs)
     )
     ff_names = [f"norm_{f}" for f in fields]
     if need_ts:
         ff_names.append(f"ts_{need_ts}")
     ff_names += list(extra_ff)
-    fastfields = filter_split_ids(
-        searcher.table("fastfields"), split_ids
-    ).filter(F.col("name").isin(ff_names))
+    fastfields = filter_split_ids(tables["fastfields"], split_ids).filter(
+        F.col("name").isin(ff_names)
+    )
     return postings, fastfields
 
 
@@ -298,11 +314,14 @@ def _evaluate(
     searcher = get_searcher(spark, index_dir)
     ms = searcher.ms
     config = ms.config()
+    # one request-consistent snapshot: split list + all table file
+    # listings resolved under a single metastore state token
+    tables = searcher.snapshot()
     ast = resolve_query(parse_query(req.query), config, req.search_fields)
     start_micros = _to_micros(req.start_ts)
     end_micros = _to_micros(req.end_ts)
     splits = prune_splits(
-        ms.list_published(), config, ast, start_micros, end_micros
+        tables["splits"], config, ast, start_micros, end_micros
     )
     if not splits:
         return None, ast, ms
@@ -323,7 +342,7 @@ def _evaluate(
             # only integer-typed fast fields are packed as ff_ blobs
             # (build.write_fastfields numeric_ff rule) — fail fast on
             # the driver instead of a NoneType crash in the executor.
-            dtypes = dict(searcher.table("docmap").dtypes)
+            dtypes = dict(tables["docmap"].dtypes)
             if dtypes.get(sort_field) not in (
                 "tinyint", "smallint", "int", "bigint"
             ):
@@ -336,7 +355,7 @@ def _evaluate(
         extra = [sort_field]
     else:
         extra = []
-    postings, fastfields = _scan_inputs(searcher, ast, sids, need_ts, extra)
+    postings, fastfields = _scan_inputs(tables, ast, sids, need_ts, extra)
     infos = _split_infos(splits, config, start_micros, end_micros)
     evaluator = _make_evaluator(
         ast,

@@ -40,4 +40,6 @@ EOF
 done
 echo "$(date +%H:%M:%S) gate open — running bench.py" >> "$LOG"
 python bench.py 2>> "$LOG" | tail -1 > "$OUT"
-echo "$(date +%H:%M:%S) done rc=$? -> $OUT" >> "$LOG"
+# $? after a pipeline is tail's status (always 0) — record bench.py's
+rc=${PIPESTATUS[0]}
+echo "$(date +%H:%M:%S) done rc=$rc -> $OUT" >> "$LOG"

@@ -248,6 +248,47 @@ def test_searcher_self_validates_across_publish(
     assert held.fresh()  # stamp re-synced by the table() call
 
 
+def test_searcher_snapshot_is_request_consistent(
+    spark, corpus_rows, tmp_path_factory
+):
+    """snapshot() resolves the split list AND all three table file
+    listings under ONE state-token check, so a publish landing between
+    two table reads of the same request cannot mix index states
+    (pre-publish postings joined to post-publish fastfields would
+    silently drop every hit of a replaced split)."""
+    from quickwit_spark.operators.search import Searcher
+
+    index_dir = str(tmp_path_factory.mktemp("snap_searcher"))
+    df = spark.createDataFrame(pd.DataFrame(corpus_rows))
+    build_index(spark, df, index_dir, webpages_config(), num_splits=3)
+
+    held = Searcher(spark, index_dir)
+    snap = held.snapshot()
+    pre_sids = {int(s.split_id) for s in snap["splits"]}
+
+    ms = Metastore(index_dir)
+    merged = merge_splits(spark, index_dir, [s.split_id for s in ms.list_published()])
+
+    # the held snapshot stays internally coherent: its split list and
+    # its postings file listing are both PRE-merge (old files linger
+    # until GC), so a request planned from it still answers correctly
+    snap_post_sids = {
+        r["split_id"]
+        for r in snap["postings"].select("split_id").distinct().collect()
+    }
+    assert pre_sids <= snap_post_sids
+    assert int(merged.split_id) not in {int(s.split_id) for s in snap["splits"]}
+
+    # a NEW snapshot moves wholesale to the post-merge state
+    snap2 = held.snapshot()
+    new_sids = {int(s.split_id) for s in snap2["splits"]}
+    assert new_sids == {int(merged.split_id)}
+    assert int(merged.split_id) in {
+        r["split_id"]
+        for r in snap2["postings"].select("split_id").distinct().collect()
+    }
+
+
 @pytest.mark.parametrize("backend", ["file", "table"])
 def test_full_lifecycle_both_backends(
     spark, corpus_rows, tmp_path_factory, backend

@@ -40,6 +40,9 @@ URL_CASES = [
     ("http://h.com:8080/a/", "http://h.com:8080/a"),  # non-default port kept
     ("www.h.com/#only-frag", "http://h.com"),
     ("http://h.com/a///?gclid=1&z", "http://h.com/a?z"),
+    # protocol-relative hrefs (common in crawls) get the default scheme
+    ("//Example.com/a/", "http://example.com/a"),
+    ("//www.h.com:80/x?b=1&a=1", "http://h.com/x?a=1&b=1"),
 ]
 
 
