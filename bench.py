@@ -184,6 +184,30 @@ def main() -> None:
 
             queries["ann_cosine_topk"] = round(p50(run_ann), 3)
 
+            # round-4 webtext curation tier headliners
+            from quickwit_spark.functions.packing import pack_sequences
+            from quickwit_spark.functions.urlnorm import dedup_urls
+
+            def run_urls():
+                u = d.select(
+                    "doc_id",
+                    F.concat(
+                        F.lit("https://WWW.site"),
+                        (F.col("doc_id") % 997).cast("string"),
+                        F.lit(".example/p/"),
+                        (F.col("doc_id") % 4999).cast("string"),
+                        F.lit("/?utm_source=x&b=2&a=1"),
+                    ).alias("url"),
+                )
+                dedup_urls(u).count()
+
+            queries["url_dedup"] = round(p50(run_urls, runs=3), 3)
+
+            def run_pack():
+                pack_sequences(d, capacity=2048).count()
+
+            queries["pack_sequences"] = round(p50(run_pack, runs=3), 3)
+
         total = time.time() - t_total0
         print(
             json.dumps(
