@@ -28,6 +28,19 @@ def normalized_text(col: Column) -> Column:
     return F.array_join(tokens_col(col), " ")
 
 
+def _widen_narrow_input(df: DataFrame) -> DataFrame:
+    """The shingle/hash map stage runs at SCAN parallelism, which for a
+    small input (one parquet file → one partition) serializes the
+    heaviest work onto one core (measured 6× on the bench corpus).
+    Widen ONLY when the scan is narrower than the cluster's default
+    parallelism — at real scale (input partitions ≫ cores) this never
+    fires, so no exchange is added where the data is already wide."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def exact_dup_groups(
     df: DataFrame, text_col: str = "text", key_col: str = "doc_id"
 ) -> DataFrame:
@@ -73,6 +86,7 @@ def minhash_signatures(
     k: int = 3,
 ) -> DataFrame:
     """One row per doc: key + num_hashes minhash columns (md5-hex)."""
+    df = _widen_narrow_input(df)
     sh = df.select(
         F.col(key_col).alias("key"),
         F.explode(shingle_col(F.col(text_col), k)).alias("shingle"),
@@ -203,6 +217,7 @@ def simhash(
 ) -> DataFrame:
     """32-bit SimHash: bit b = sign of Σ_tokens (±1 by bit b of
     md5(token)). Pure column expressions (conv hex→long + bit ops)."""
+    df = _widen_narrow_input(df)
     tok = df.select(
         F.col(key_col).alias("key"),
         F.explode(tokens_col(F.col(text_col))).alias("token"),
