@@ -64,6 +64,11 @@ def pack_sequences(
             spark.conf.get("spark.sql.shuffle.partitions", "32")
         )
 
+    from quickwit_spark.functions.dedup import _widen_narrow_input
+
+    # the tokenize map runs at scan parallelism on the sums job —
+    # widen one-file inputs (no-op at real scale; see dedup helper)
+    df = _widen_narrow_input(df)
     toks = F.filter(F.split(F.col(text_col), r"\s+"), lambda t: t != "")
     base = (
         df.select(F.col(key_col).alias("__key"), toks.alias("__toks"))
