@@ -822,3 +822,46 @@ def test_assemble_sequences_full_rows(spark):
         assert toks == stream[sid * cap : sid * cap + cap]
         if sid < max(by_id):
             assert r["n_toks"] == cap
+
+
+def test_widen_narrow_input_is_noop_on_wide_scans(spark):
+    from quickwit_spark.functions.dedup import _widen_narrow_input
+
+    wide = spark.createDataFrame(
+        [(i, "x") for i in range(100)], "doc_id long, text string"
+    ).repartition(spark.sparkContext.defaultParallelism)
+    # already at cluster parallelism: the SAME plan comes back — the
+    # 100 TB contract is that no exchange is ever added to wide inputs
+    assert _widen_narrow_input(wide) is wide
+    narrow = wide.coalesce(1)
+    assert (
+        _widen_narrow_input(narrow).rdd.getNumPartitions()
+        == spark.sparkContext.defaultParallelism
+    )
+
+
+def test_pack_sequences_property_random_corpora(spark):
+    from hypothesis import given, settings, strategies as st
+
+    from quickwit_spark.functions.packing import pack_sequences
+
+    @settings(max_examples=5, deadline=None)
+    @given(
+        st.lists(
+            st.integers(min_value=0, max_value=30), min_size=1, max_size=25
+        ),
+        st.integers(min_value=1, max_value=11),
+    )
+    def check(token_counts, cap):
+        docs = [
+            (i, " ".join(f"t{i}_{j}" for j in range(n)))
+            for i, n in enumerate(token_counts)
+        ]
+        df = spark.createDataFrame(docs, "doc_id long, text string")
+        got = sorted(
+            tuple(r)
+            for r in pack_sequences(df, capacity=cap, num_buckets=3).collect()
+        )
+        assert got == _brute_pack(docs, cap)
+
+    check()
