@@ -107,8 +107,11 @@ def cmd_search(args) -> int:
         sort_field=args.sort_by_field.lstrip("+-") if args.sort_by_field else None,
         sort_asc=bool(args.sort_by_field and args.sort_by_field.startswith("+")),
     )
-    hits = search_df(spark, args.index, req)
-    out = fetch_docs(spark, args.index, hits)
+    from quickwit_spark.operators.search import get_searcher
+
+    snap = get_searcher(spark, args.index).snapshot()
+    hits = search_df(spark, args.index, req, tables=snap)
+    out = fetch_docs(spark, args.index, hits, docmap=snap["docmap"])
     if args.format == "json" and "_source" not in out.columns:
         # schema-only check — fail before running the query
         print(

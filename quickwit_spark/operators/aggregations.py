@@ -33,7 +33,12 @@ import math
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from quickwit_spark.operators.search import SearchRequest, fetch_docs, matches_df
+from quickwit_spark.operators.search import (
+    SearchRequest,
+    fetch_docs,
+    get_searcher,
+    matches_df,
+)
 
 _METRIC_AGGS = ("avg", "stats", "min", "max", "sum", "value_count")
 
@@ -119,7 +124,9 @@ def run_aggregations(
     aggs: dict,
 ) -> dict:
     """Run the aggregation request over all docs matching ``req``."""
-    matches = matches_df(spark, index_dir, req)
+    # one snapshot spans match + fetch: no torn read across a publish
+    snap = get_searcher(spark, index_dir).snapshot()
+    matches = matches_df(spark, index_dir, req, tables=snap)
     needed: set[str] = set()
     for spec in aggs.values():
         for kind, body in spec.items():
@@ -132,7 +139,10 @@ def run_aggregations(
                     for k2, b2 in sub.items():
                         if k2 in _METRIC_AGGS:
                             needed.add(b2["field"])
-    docs = fetch_docs(spark, index_dir, matches, columns=sorted(needed), bounded=False)
+    docs = fetch_docs(
+        spark, index_dir, matches, columns=sorted(needed), bounded=False,
+        docmap=snap["docmap"],
+    )
     # each agg spec runs >=1 job over the matched-docs lineage (terms
     # runs 2: top-N + the non-missing total); persist it whenever more
     # than one job will execute so the expensive match+fetch join is
@@ -243,9 +253,13 @@ def search_stream(
     """Export the fast-field value of EVERY matching doc (no top-k),
     optionally with a partition column (PartionnedFastFieldCollector
     analogue)."""
-    matches = matches_df(spark, index_dir, req)
+    snap = get_searcher(spark, index_dir).snapshot()
+    matches = matches_df(spark, index_dir, req, tables=snap)
     cols = [fast_field]
     if partition_by_field and partition_by_field != fast_field:
         cols.append(partition_by_field)
-    docs = fetch_docs(spark, index_dir, matches, columns=cols, bounded=False)
+    docs = fetch_docs(
+        spark, index_dir, matches, columns=cols, bounded=False,
+        docmap=snap["docmap"],
+    )
     return docs.select(*cols)

@@ -308,15 +308,21 @@ def _evaluate(
     req: SearchRequest,
     emit_all: bool,
     count_exact: bool = True,
+    tables: dict | None = None,
 ) -> tuple[DataFrame | None, object, Metastore]:
     """Shared plan: prune → scan → per-split evaluate. Returns the
-    per-split hits DataFrame (None when all splits pruned)."""
+    per-split hits DataFrame (None when all splits pruned).
+
+    ``tables`` lets a caller that ALSO fetches docs pass one
+    ``Searcher.snapshot()`` spanning the whole request, so the
+    evaluate and fetch sides cannot straddle a concurrent publish."""
     searcher = get_searcher(spark, index_dir)
     ms = searcher.ms
     config = ms.config()
     # one request-consistent snapshot: split list + all table file
     # listings resolved under a single metastore state token
-    tables = searcher.snapshot()
+    if tables is None:
+        tables = searcher.snapshot()
     ast = resolve_query(parse_query(req.query), config, req.search_fields)
     start_micros = _to_micros(req.start_ts)
     end_micros = _to_micros(req.end_ts)
@@ -377,11 +383,19 @@ def _evaluate(
     return hits, ast, ms
 
 
-def search_df(spark: SparkSession, index_dir: str, req: SearchRequest) -> DataFrame:
+def search_df(
+    spark: SparkSession,
+    index_dir: str,
+    req: SearchRequest,
+    tables: dict | None = None,
+) -> DataFrame:
     """Top-k hits as (split_id, doc_id, score), globally ordered with
     pagination applied."""
     # top-k only: the evaluator may use block-max WAND (no exact count)
-    hits, _, _ = _evaluate(spark, index_dir, req, emit_all=False, count_exact=False)
+    hits, _, _ = _evaluate(
+        spark, index_dir, req, emit_all=False, count_exact=False,
+        tables=tables,
+    )
     if hits is None:
         return spark.createDataFrame(
             [], "split_id int, doc_id long, score double, sort_long long"
@@ -422,7 +436,10 @@ def count_hits(spark: SparkSession, index_dir: str, req: SearchRequest) -> int:
 
 
 def search_with_count(
-    spark: SparkSession, index_dir: str, req: SearchRequest
+    spark: SparkSession,
+    index_dir: str,
+    req: SearchRequest,
+    tables: dict | None = None,
 ) -> tuple[list, int]:
     """Top-k hit rows AND exact num_hits from ONE per-split evaluation
     pass (the reference returns both in a single leaf response,
@@ -434,7 +451,10 @@ def search_with_count(
     # evaluate with k ≥ 1 so every matching split emits ≥1 row — the
     # per-split num_hits rides on hit rows (k=0 would drop the count)
     eval_req = SearchRequest(**{**vars(req), "k": max(wanted, 1), "offset": 0})
-    hits, _, _ = _evaluate(spark, index_dir, eval_req, emit_all=False, count_exact=True)
+    hits, _, _ = _evaluate(
+        spark, index_dir, eval_req, emit_all=False, count_exact=True,
+        tables=tables,
+    )
     if hits is None:
         return [], 0
     hits = hits.persist()
@@ -461,10 +481,15 @@ def search_with_count(
     return rows, int(total or 0)
 
 
-def matches_df(spark: SparkSession, index_dir: str, req: SearchRequest) -> DataFrame:
+def matches_df(
+    spark: SparkSession,
+    index_dir: str,
+    req: SearchRequest,
+    tables: dict | None = None,
+) -> DataFrame:
     """ALL matching docs (split_id, doc_id, score) — the
     search_stream / aggregation input (no top-k)."""
-    hits, _, _ = _evaluate(spark, index_dir, req, emit_all=True)
+    hits, _, _ = _evaluate(spark, index_dir, req, emit_all=True, tables=tables)
     if hits is None:
         return spark.createDataFrame([], "split_id int, doc_id long, score double")
     return hits.select("split_id", "doc_id", "score")
@@ -476,6 +501,7 @@ def fetch_docs(
     hits: DataFrame,
     columns: list[str] | None = None,
     bounded: bool = True,
+    docmap: DataFrame | None = None,
 ) -> DataFrame:
     """Materialize hits by joining their keys back to the docmap
     (fetch_docs.rs analogue).
@@ -488,8 +514,14 @@ def fetch_docs(
     let Spark shuffle on (split_id, doc_id) (or auto-broadcast when
     the runtime size happens to be small — AQE's call, not a hint).
     The reference never centralizes this set either: search_stream
-    leaves stream their own split's matches (leaf.rs:119-255)."""
-    docmap = get_searcher(spark, index_dir).table("docmap")
+    leaves stream their own split's matches (leaf.rs:119-255).
+
+    ``docmap``: pass the docmap from the SAME ``Searcher.snapshot()``
+    that produced ``hits`` — resolving it here (the fallback) opens a
+    window where a publish between evaluate and fetch joins hits
+    against a newer doc store and silently drops replaced splits."""
+    if docmap is None:
+        docmap = get_searcher(spark, index_dir).table("docmap")
     if columns:
         docmap = docmap.select("split_id", "doc_id", *columns)
     right = F.broadcast(hits) if bounded else hits
@@ -505,8 +537,9 @@ def search(
 ) -> DataFrame:
     """Convenience: top-k search with materialized doc keys."""
     req = SearchRequest(query=query, k=k, **kwargs)
-    hits = search_df(spark, index_dir, req)
-    out = fetch_docs(spark, index_dir, hits)
+    snap = get_searcher(spark, index_dir).snapshot()
+    hits = search_df(spark, index_dir, req, tables=snap)
+    out = fetch_docs(spark, index_dir, hits, docmap=snap["docmap"])
     # rank on the exact int64 fast-field lane when sorting by a fast
     # field — the float64 `score` copy loses precision above 2^53 and
     # could disagree with the engine ranking search_df just computed

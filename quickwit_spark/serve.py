@@ -283,11 +283,16 @@ def search_endpoint(
     req = SearchRequest(**kwargs)
     # one evaluation pass yields both the page of hits and the exact
     # total (the reference leaf response carries both)
-    hit_rows, num_hits = search_with_count(spark, index_dir, req)
+    from quickwit_spark.operators.search import get_searcher
+
+    snap = get_searcher(spark, index_dir).snapshot()
+    hit_rows, num_hits = search_with_count(spark, index_dir, req, tables=snap)
     hits_df = spark.createDataFrame(
         hit_rows, "split_id int, doc_id long, score double, sort_long long"
     )
-    docs = fetch_docs(spark, index_dir, hits_df).collect()
+    docs = fetch_docs(
+        spark, index_dir, hits_df, docmap=snap["docmap"]
+    ).collect()
     agg_result = None
     if aggs is not None:
         from quickwit_spark.operators.aggregations import run_aggregations
