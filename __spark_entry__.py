@@ -625,6 +625,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["sample_stratified"] = sample_stratified
 
+    def sample_token_budget(spark, sf_dir):
+        # data-mixture curation: down-sample each language so its
+        # EXPECTED token count hits a target budget ("5k tokens of
+        # English, 2k of German, all of French, 1k of Chinese, none
+        # of the rest") — rates derived from one exact per-stratum
+        # token-total agg, then the md5-keyed Bernoulli filter
+        return sampling.token_budget_sample(
+            _docs(spark, sf_dir),
+            {"en": 5000, "de": 2000, "fr": 10000, "zh": 1000},
+            stratum_col="lang",
+            key_col="doc_id",
+            seed="mixbudget",
+        ).select("doc_id", "lang")
+
+    q["sample_token_budget"] = sample_token_budget
+
     def sample_topn(spark, sf_dir):
         # 20 longest docs per language, doc_id tie-break; Catalyst's
         # partial WindowGroupLimit bounds the per-stratum shuffle
@@ -1552,6 +1568,27 @@ FROM pairs WHERE round(dot / (na * nb), 6) >= 0.35
 SELECT doc_id, lang FROM documents
 WHERE CAST(('0x' || substr(md5('{_SAMPLE_SEED}|' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
       < CASE lang {_case} ELSE {_dflt} END
+"""
+
+    o["sample_token_budget"] = r"""
+WITH tot AS (
+  SELECT lang,
+         CAST(sum(len(list_filter(regexp_split_to_array(text, '\s+'),
+                                  x -> x <> ''))) AS DOUBLE) AS t
+  FROM documents GROUP BY lang
+), thr AS (
+  -- same arithmetic as rate_thresholds: floor(min(1, b/t) * 2^60),
+  -- IEEE doubles in both engines, so the int64 literals agree
+  SELECT lang,
+         least(CAST(floor(least(1.0, CASE lang WHEN 'en' THEN 5000.0 WHEN 'de' THEN 2000.0 WHEN 'fr' THEN 10000.0 WHEN 'zh' THEN 1000.0 END / t)
+                          * 1152921504606846976) AS BIGINT),
+               1152921504606846976) AS thr
+  FROM tot WHERE lang IN ('en', 'de', 'fr', 'zh')
+)
+SELECT d.doc_id, d.lang
+FROM documents d JOIN thr ON d.lang = thr.lang
+WHERE CAST(('0x' || substr(md5('mixbudget|' || CAST(d.doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+      < thr.thr
 """
 
     o["sample_topn_per_lang"] = """

@@ -130,3 +130,46 @@ def topn_per_stratum(
         .drop("__rn")
     )
     return out.drop("__rank_key") if order_col is None else out
+
+
+def token_budget_sample(
+    df: DataFrame,
+    budgets: dict[str, int],
+    stratum_col: str = "lang",
+    text_col: str = "text",
+    key_col: str = "doc_id",
+    seed: str = "mix",
+) -> DataFrame:
+    """Data-mixture curation: down-sample each stratum (language /
+    domain / source) so its EXPECTED token count matches a target
+    budget — the standard step that turns a raw crawl into a training
+    mix ("2B tokens of code, 500M of French, ...").
+
+    ``rate_s = min(1, budget_s / total_tokens_s)`` from one exact
+    per-stratum token-total aggregation (whitespace tokens — the same
+    contract as chunking/packing), then the deterministic md5-keyed
+    Bernoulli filter of :func:`stratified_sample` with those rates.
+    Strata without a budget are dropped (rate 0). Two corpus passes
+    (one agg + one filter), both full-width maps; the thresholds are
+    plan literals computed driver-side, so the selection is a pure
+    function of (seed, key, stratum) — identical on re-runs, retries
+    and any partitioning, and reproducible exactly by a SQL oracle
+    that re-derives the same rates from the same totals.
+    """
+    n_toks = F.size(
+        F.filter(F.split(F.col(text_col), r"\s+"), lambda t: t != "")
+    )
+    totals = {
+        r[stratum_col]: int(r["t"])
+        for r in df.groupBy(stratum_col)
+        .agg(F.sum(n_toks).alias("t"))
+        .collect()
+        if r[stratum_col] is not None and r["t"] is not None
+    }
+    rates = {
+        s: min(1.0, float(b) / totals[s]) if totals.get(s) else 1.0
+        for s, b in budgets.items()
+    }
+    return stratified_sample(
+        df, stratum_col, rates, key_col, seed=seed, default_rate=0.0
+    )

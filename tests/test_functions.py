@@ -865,3 +865,36 @@ def test_pack_sequences_property_random_corpora(spark):
         assert got == _brute_pack(docs, cap)
 
     check()
+
+
+def test_token_budget_sample_mix_semantics(spark):
+    from quickwit_spark.functions.sampling import token_budget_sample
+
+    rng = np.random.default_rng(3)
+    rows = []
+    for i in range(600):
+        lang = ["en", "de", "fr"][i % 3]
+        n = int(rng.integers(5, 40))
+        rows.append((i, lang, " ".join(f"w{i}_{j}" for j in range(n))))
+    df = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    totals = {
+        lang: sum(len(t.split()) for _, l, t in rows if l == lang)
+        for lang in ("en", "de", "fr")
+    }
+    budgets = {"en": totals["en"] // 3, "fr": totals["fr"] * 10}
+    kept = token_budget_sample(df, budgets, key_col="doc_id").collect()
+    kept_tokens = {}
+    for r in kept:
+        kept_tokens[r["lang"]] = kept_tokens.get(r["lang"], 0) + len(
+            r["text"].split()
+        )
+    # unbudgeted stratum dropped entirely
+    assert "de" not in kept_tokens
+    # budget above the stratum total -> rate 1, every doc kept
+    assert kept_tokens["fr"] == totals["fr"]
+    # expected kept tokens ~= budget (Bernoulli; generous tolerance)
+    assert abs(kept_tokens["en"] - budgets["en"]) < totals["en"] * 0.15
+    # determinism: the same call selects the identical row set
+    again = {r["doc_id"] for r in token_budget_sample(
+        df, budgets, key_col="doc_id").collect()}
+    assert again == {r["doc_id"] for r in kept}
