@@ -86,13 +86,27 @@ def pack_sequences(
             ).stat.approxQuantile("__key", probs, 0.001)
         )
     ) if probs else []
-    if bounds:
-        barr = F.array(*[F.lit(float(b)) for b in bounds])
-        bucket = F.size(
-            F.filter(barr, lambda b: b < F.col("__key").cast("double"))
-        )
-    else:
+    kd = F.col("__key").cast("double")
+    if not bounds:
         bucket = F.lit(0)
+    elif len(bounds) <= 512:
+        barr = F.array(*[F.lit(float(b)) for b in bounds])
+        bucket = F.size(F.filter(barr, lambda b: b < kd))
+    else:
+        # two-level search: a flat scan of B boundaries per row caps
+        # num_buckets, but at 10^12 docs each bucket is ONE window
+        # task, so B must grow with the corpus. Coarse = every 256th
+        # boundary (chunk maxima); bucket = 256·chunk + rank within
+        # the chunk's 256-boundary slice — ≤ 512 comparisons per row
+        # for B up to 65 536, all inside whole-stage codegen.
+        barr = F.array(*[F.lit(float(b)) for b in bounds])
+        coarse = bounds[255::256]
+        carr = F.array(*[F.lit(float(b)) for b in coarse])
+        ci = F.size(F.filter(carr, lambda b: b < kd))
+        fine = F.size(
+            F.filter(F.slice(barr, ci * 256 + 1, 256), lambda b: b < kd)
+        )
+        bucket = ci * 256 + fine
     base = base.withColumn("__b", bucket)
 
     # driver-side cumsum of per-bucket token totals (≤ num_buckets rows)

@@ -898,3 +898,18 @@ def test_token_budget_sample_mix_semantics(spark):
     again = {r["doc_id"] for r in token_budget_sample(
         df, budgets, key_col="doc_id").collect()}
     assert again == {r["doc_id"] for r in kept}
+
+
+def test_pack_sequences_two_level_bucket_search(spark):
+    """num_buckets > 512 engages the two-level boundary search; the
+    output is invariant to bucketing, so brute-force equality over a
+    corpus with >512 distinct keys exercises chunk-boundary edges."""
+    from quickwit_spark.functions.packing import pack_sequences
+
+    docs = [(i, f"a{i} b{i} c{i}") for i in range(1400)]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = sorted(
+        tuple(r)
+        for r in pack_sequences(df, capacity=10, num_buckets=700).collect()
+    )
+    assert got == _brute_pack(docs, 10)
