@@ -1,7 +1,10 @@
 #!/bin/bash
-# Same health gate as gated_window.sh (3 consecutive median-of-3
-# fault-in probes > 300 MB/s, JVM/pytest quiescence), then ONE
-# build-fleet 4<->16 window with bracketing probes.
+# Health-gated build-fleet window. Gate = (a) 3 consecutive
+# median-of-3 fault-in probes > 300 MB/s, (b) JVM/pytest quiescence,
+# (c) a LOADED-steal probe: idle probes can't see the contended-
+# period failure mode (attempt 2 read 2-5 GB/s fault-in idle, then
+# 9-11% steal the moment 16 vCPUs loaded), so spin 16 real processes
+# for ~4s and require <1% steal before opening.
 cd /root/repo
 ok=0
 while [ "$ok" -lt 3 ]; do
@@ -26,6 +29,26 @@ PYEOF
   echo "$(date +%H:%M:%S) fault_in=${rate}MB/s samples=[${probe#* }] ok=${ok}"
   if [ "$rate" -gt 300 ]; then ok=$((ok + 1)); else ok=0; fi
   sleep 90
+  if [ "$ok" -eq 3 ]; then
+    for i in $(seq 1 16); do timeout 5 python -c 'while 1: pass' & done
+    sleep 1
+    lsteal=$(python - <<'PYEOF'
+import time
+def snap():
+    with open("/proc/stat") as f:
+        return [int(x) for x in f.readline().split()[1:]]
+a = snap(); time.sleep(3.0); b = snap()
+d = [y - x for x, y in zip(a, b)]
+print(round(100.0 * d[7] / max(sum(d), 1), 2))
+PYEOF
+)
+    wait
+    echo "$(date +%H:%M:%S) loaded_steal=${lsteal}%"
+    if ! python -c "import sys; sys.exit(0 if float('${lsteal}') < 1.0 else 1)"; then
+      echo "$(date +%H:%M:%S) loaded-steal gate failed — back to waiting"
+      ok=0
+    fi
+  fi
 done
 echo "$(date +%H:%M:%S) healthy + quiet — launching build-fleet window"
 date
