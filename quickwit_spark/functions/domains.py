@@ -28,9 +28,14 @@ def domain_stats(
     text_col: str = "text",
     lang_col: str = "lang",
 ) -> DataFrame:
-    """Per domain: doc count, total/avg alnum tokens, avg text chars,
+    """Per domain: doc count, total alnum tokens, total text chars,
     distinct-language count, and the modal language (doc-count ties
-    broken toward the lexicographically smallest lang)."""
+    broken toward the lexicographically smallest lang).
+
+    All numeric cells are integer-exact bigints (averages are
+    total/n_docs for the caller): rounded-double cells are
+    engine-version-sensitive on ties (Spark HALF_UP vs DuckDB double
+    rounding), which broke oracle hash comparison in round 4."""
     ntok = F.size(tokens_col(F.col(text_col)))
     base = df.select(
         F.col(domain_col).alias("domain"),
@@ -52,8 +57,7 @@ def domain_stats(
         .agg(
             F.sum("lang_docs").alias("n_docs"),
             F.sum("lang_tokens").alias("total_tokens"),
-            F.round(F.sum("lang_tokens") / F.sum("lang_docs"), 6).alias("avg_tokens"),
-            F.round(F.sum("lang_chars") / F.sum("lang_docs"), 6).alias("avg_chars"),
+            F.sum("lang_chars").alias("total_chars"),
             F.count(F.lit(1)).alias("n_langs"),
             F.max(F.when(F.col("rn") == 1, F.col("lang"))).alias("top_lang"),
         )
