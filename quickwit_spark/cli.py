@@ -194,11 +194,20 @@ def cmd_demux(args) -> int:
             ms.list_published(), ms.config(), args.field,
             demux_factor=args.demux_factor,
         )
+        # the reference's demux emits demux_factor output splits per
+        # operation (merge_policy.rs new_split_id x demux_factor);
+        # without this default a policy batch would collapse into one
+        # mega-split and lose the tag-pruning benefit demux exists for
+        plan_out = (
+            args.num_splits
+            if args.num_splits is not None
+            else args.demux_factor
+        )
         new_ids: list[str] = []
         for batch in batches:
             metas = demux_splits(
                 spark, args.index, args.field, split_ids=batch,
-                num_out_splits=args.num_splits,
+                num_out_splits=plan_out,
             )
             new_ids.extend(m.split_id for m in metas)
         print(

@@ -162,9 +162,18 @@ def remap_postings_arrow(post_tbl, map_tbl):
     tf_cum = np.concatenate(([0], np.cumsum(_varbyte_lengths(tt_u))))
 
     def _bin_from_slices(cum, starts, ends, stream):
+        total_bytes = int(cum[ends[-1]]) if ends.size else 0
+        if total_bytes > np.iinfo(np.int32).max:
+            # Arrow binary offsets are i32; a silent wrap here would
+            # corrupt the partial rows (mirrors the u32 doc-id guard in
+            # build.py) — callers must shrink the cogroup batch
+            raise ValueError(
+                "posting byte stream exceeds 2^31-1 bytes in one "
+                f"remap batch ({total_bytes}); reduce batch size"
+            )
         offsets = np.empty(starts.size + 1, dtype=np.int32)
         offsets[:-1] = cum[starts]
-        offsets[-1] = cum[ends[-1]] if ends.size else 0
+        offsets[-1] = total_bytes
         return pa.Array.from_buffers(
             pa.binary(),
             starts.size,
@@ -177,7 +186,13 @@ def remap_postings_arrow(post_tbl, map_tbl):
         pb_len = b_len[perm]
         pos_stream = p_val[_ragged_gather(pb_lo, pb_len)]
         seg_bytes = np.add.reduceat(pb_len, seg_start)
-        pos_off = np.concatenate(([0], np.cumsum(seg_bytes))).astype(np.int32)
+        pos_cum = np.concatenate(([0], np.cumsum(seg_bytes, dtype=np.int64)))
+        if int(pos_cum[-1]) > np.iinfo(np.int32).max:
+            raise ValueError(
+                "positions byte stream exceeds 2^31-1 bytes in one "
+                f"remap batch ({int(pos_cum[-1])}); reduce batch size"
+            )
+        pos_off = pos_cum.astype(np.int32)
         seg_valid = valid_rows[rs[seg_start]]
         pos_arr = pa.Array.from_buffers(
             pa.binary(),
