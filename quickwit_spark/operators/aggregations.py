@@ -117,15 +117,65 @@ def terms_buckets(
     return grouped.orderBy(F.col("doc_count").desc(), F.col("key").asc()).limit(size)
 
 
+def _bucket_expr(spec: dict):
+    """The grouping-key Column for a bucket agg spec, or None for a
+    metric-only spec. NULL key == "doc contributes to no bucket"
+    (null field, or value outside every range)."""
+    if "range" in spec:
+        body = spec["range"]
+        col = F.col(body["field"])
+        bucket = F.lit(None).cast("string")
+        for r in body["ranges"]:
+            lo, hi = r.get("from"), r.get("to")
+            cond = col.isNotNull()
+            if lo is not None:
+                cond = cond & (col >= F.lit(lo))
+            if hi is not None:
+                cond = cond & (col < F.lit(hi))
+            bucket = F.when(
+                cond & bucket.isNull(), F.lit(_range_key(lo, hi))
+            ).otherwise(bucket)
+        return bucket
+    if "histogram" in spec:
+        body = spec["histogram"]
+        col = F.col(body["field"]).cast("double")
+        interval = float(body["interval"])
+        # null field -> null bucket -> dropped (ES semantics; the
+        # range/terms branches already ignore missing-field docs)
+        return F.floor(col / F.lit(interval)) * F.lit(interval)
+    if "terms" in spec:
+        return F.col(spec["terms"]["field"])
+    return None
+
+
 def run_aggregations(
     spark: SparkSession,
     index_dir: str,
     req: SearchRequest,
     aggs: dict,
+    tables: dict | None = None,
 ) -> dict:
-    """Run the aggregation request over all docs matching ``req``."""
-    # one snapshot spans match + fetch: no torn read across a publish
-    snap = get_searcher(spark, index_dir).snapshot()
+    """Run the aggregation request over all docs matching ``req``.
+
+    SINGLE PASS: every bucket spec becomes one GROUPING SETS set over
+    one shared scan of the matched docs — the reference evaluates all
+    aggs of a request in one collector walk per segment
+    (collector.rs:289-353), and this is the Spark spelling of that.
+    One Expand + one partial/final hash aggregation + one collect; a
+    3-agg request never re-joins matches against the doc store.
+
+    ``tables``: a ``Searcher.snapshot()`` to evaluate against, so a
+    caller holding hits from one snapshot gets buckets from the SAME
+    index state (serve.search_endpoint threads its snapshot here).
+    """
+    import functools
+    import operator as _op
+
+    from pyspark.sql.window import Window
+
+    snap = tables if tables is not None else get_searcher(
+        spark, index_dir
+    ).snapshot()
     matches = matches_df(spark, index_dir, req, tables=snap)
     needed: set[str] = set()
     for spec in aggs.values():
@@ -143,42 +193,102 @@ def run_aggregations(
         spark, index_dir, matches, columns=sorted(needed), bounded=False,
         docmap=snap["docmap"],
     )
-    # each agg spec runs >=1 job over the matched-docs lineage (terms
-    # runs 2: top-N + the non-missing total); persist it whenever more
-    # than one job will execute so the expensive match+fetch join is
-    # computed once, the way the reference's single collector pass is
-    n_jobs = len(aggs) + sum(1 for spec in aggs.values() if "terms" in spec)
-    persisted = n_jobs > 1
-    if persisted:
-        docs = docs.persist()
+
+    specs = list(aggs.items())
+    # metric columns are namespaced "{spec_idx}|{name}" — two specs may
+    # reuse a sub-agg name with different bodies
+    agg_cols = [F.count(F.lit(1)).alias("doc_count")]
+    bucket_idx: list[int] = []   # spec indices that have a bucket kind
+    need_global = False
+    docs2 = docs
+    for i, (name, spec) in enumerate(specs):
+        for sname, sspec in spec.get("aggs", {}).items():
+            agg_cols += _metric_cols(f"{i}|{sname}", sspec)
+        bexpr = _bucket_expr(spec)
+        if bexpr is not None:
+            docs2 = docs2.withColumn(f"__b{i}", bexpr)
+            bucket_idx.append(i)
+        else:
+            agg_cols += _metric_cols(f"{i}|{name}", spec)
+            need_global = True
+        if "terms" in spec:
+            # docs WITH the field (in or out of the top buckets) feed
+            # sum_other_doc_count — a global count(field), same pass
+            agg_cols.append(
+                F.count(F.col(spec["terms"]["field"])).alias(f"__total{i}")
+            )
+            need_global = True
+
+    bcols = [f"__b{i}" for i in bucket_idx]
+    if not bcols:
+        # metric-only request: plain global aggregate (one job already)
+        row = docs2.agg(*agg_cols).collect()[0]
+        return {
+            name: _metric_result(f"{i}|{name}", spec, row)
+            for i, (name, spec) in enumerate(specs)
+        }
+
+    # grouping_id bit j (MSB = leftmost grouping column) set == that
+    # column is aggregated away; a spec's own rows have only its bit 0
+    full_mask = (1 << len(bcols)) - 1
+    gid_of = {
+        i: full_mask & ~(1 << (len(bcols) - 1 - j))
+        for j, i in enumerate(bucket_idx)
+    }
+    sets = [[F.col(c)] for c in bcols]
+    if need_global:
+        sets.append([])
+    agged = docs2.groupingSets(sets, *[F.col(c) for c in bcols]).agg(
+        F.grouping_id().alias("__gid"), *agg_cols
+    )
+    # drop null-key buckets per set (a null grouping cell inside a
+    # spec's own gid is a real NULL key, not a rolled-up column)
+    keep = F.lit(need_global) & (F.col("__gid") == full_mask)
+    for i in bucket_idx:
+        keep = keep | (
+            (F.col("__gid") == gid_of[i]) & F.col(f"__b{i}").isNotNull()
+        )
+    result = agged.filter(keep)
+
+    terms_sizes = {
+        i: int(spec["terms"].get("size", 10))
+        for i, (_, spec) in enumerate(specs)
+        if "terms" in spec
+    }
+    if terms_sizes:
+        # top-N per terms set without a second job: rank inside each
+        # grouping set (other __b cols are constant NULL within a set,
+        # so one shared ORDER BY works for every set)
+        w = Window.partitionBy("__gid").orderBy(
+            F.col("doc_count").desc(), *[F.col(c).asc() for c in bcols]
+        )
+        result = result.withColumn("__rk", F.row_number().over(w))
+        non_terms = ~F.col("__gid").isin(
+            [gid_of[i] for i in terms_sizes]
+        )
+        result = result.filter(functools.reduce(
+            _op.or_,
+            [
+                (F.col("__gid") == gid_of[i]) & (F.col("__rk") <= sz)
+                for i, sz in terms_sizes.items()
+            ],
+            non_terms,
+        ))
+
+    all_rows = result.collect()          # the ONE action
+    by_gid: dict[int, list] = {}
+    for r in all_rows:
+        by_gid.setdefault(r["__gid"], []).append(r)
+    grow = (by_gid.get(full_mask) or [None])[0]
 
     out: dict = {}
-    for name, spec in aggs.items():
+    for i, (name, spec) in enumerate(specs):
         sub_aggs = spec.get("aggs", {})
-        sub_cols = []
-        for sname, sspec in sub_aggs.items():
-            sub_cols += _metric_cols(sname, sspec)
         if "range" in spec:
-            body = spec["range"]
-            col = F.col(body["field"])
-            ranges = [(r.get("from"), r.get("to")) for r in body["ranges"]]
-            bucket = F.lit(None).cast("string")
-            for lo, hi in ranges:
-                cond = F.lit(True)
-                if lo is not None:
-                    cond = cond & (col >= F.lit(lo))
-                if hi is not None:
-                    cond = cond & (col < F.lit(hi))
-                bucket = F.when(cond & bucket.isNull(), F.lit(_range_key(lo, hi))).otherwise(bucket)
-            grouped = (
-                docs.withColumn("__bucket", bucket)
-                .filter(F.col("__bucket").isNotNull())
-                .groupBy("__bucket")
-                .agg(F.count("*").alias("doc_count"), *sub_cols)
-            )
-            rows = {r["__bucket"]: r for r in grouped.collect()}
+            rows = {r[f"__b{i}"]: r for r in by_gid.get(gid_of[i], [])}
             buckets = []
-            for lo, hi in ranges:
+            for rng in spec["range"]["ranges"]:
+                lo, hi = rng.get("from"), rng.get("to")
                 key = _range_key(lo, hi)
                 r = rows.get(key)
                 b = {"key": key, "doc_count": int(r["doc_count"]) if r else 0}
@@ -188,58 +298,49 @@ def run_aggregations(
                     b["to"] = float(hi)
                 for sname, sspec in sub_aggs.items():
                     b[sname] = (
-                        _metric_result(sname, sspec, r) if r else {"value": None}
+                        _metric_result(f"{i}|{sname}", sspec, r)
+                        if r else {"value": None}
                     )
                 buckets.append(b)
             out[name] = {"buckets": buckets}
         elif "terms" in spec:
-            body = spec["terms"]
-            size = int(body.get("size", 10))
-            # ES semantics: sum_other_doc_count counts docs WITH the
-            # field that fell outside the top buckets
-            total = docs.filter(F.col(body["field"]).isNotNull()).count()
-            top = terms_buckets(docs, body["field"], size, sub_cols).collect()
-            buckets = []
-            in_top = 0
+            top = sorted(by_gid.get(gid_of[i], []), key=lambda r: r["__rk"])
+            buckets, in_top = [], 0
             for r in top:
-                b = {"key": r["key"], "doc_count": int(r["doc_count"])}
+                b = {"key": r[f"__b{i}"], "doc_count": int(r["doc_count"])}
                 in_top += int(r["doc_count"])
                 for sname, sspec in sub_aggs.items():
-                    b[sname] = _metric_result(sname, sspec, r)
+                    b[sname] = _metric_result(f"{i}|{sname}", sspec, r)
                 buckets.append(b)
+            total = int(grow[f"__total{i}"]) if grow is not None else 0
             out[name] = {
                 "buckets": buckets,
-                "sum_other_doc_count": int(total - in_top),
+                "sum_other_doc_count": total - in_top,
                 "doc_count_error_upper_bound": 0,
             }
         elif "histogram" in spec:
-            body = spec["histogram"]
-            col = F.col(body["field"]).cast("double")
-            interval = float(body["interval"])
-            bucket = F.floor(col / F.lit(interval)) * F.lit(interval)
-            grouped = (
-                docs.withColumn("__bucket", bucket)
-                .groupBy("__bucket")
-                .agg(F.count("*").alias("doc_count"), *sub_cols)
-                .orderBy("__bucket")
-            )
             buckets = []
-            for r in grouped.collect():
-                b = {"key": float(r["__bucket"]), "doc_count": int(r["doc_count"])}
+            for r in sorted(
+                by_gid.get(gid_of[i], []), key=lambda r: float(r[f"__b{i}"])
+            ):
+                b = {"key": float(r[f"__b{i}"]),
+                     "doc_count": int(r["doc_count"])}
                 for sname, sspec in sub_aggs.items():
-                    b[sname] = _metric_result(sname, sspec, r)
+                    b[sname] = _metric_result(f"{i}|{sname}", sspec, r)
                 buckets.append(b)
             out[name] = {"buckets": buckets}
         else:
-            cols = []
-            for kind in spec:
-                if kind in _METRIC_AGGS:
-                    cols = _metric_cols(name, spec)
-                    break
-            row = docs.agg(*cols).collect()[0]
-            out[name] = _metric_result(name, spec, row)
-    if persisted:
-        docs.unpersist()
+            if grow is not None:
+                out[name] = _metric_result(f"{i}|{name}", spec, grow)
+            else:
+                # zero matching docs: Spark's empty global agg shape
+                (kind, _), = spec.items()
+                if kind == "stats":
+                    out[name] = {"count": 0, "min": None, "max": None,
+                                 "sum": None, "avg": None}
+                else:
+                    out[name] = {"value": 0 if kind == "value_count"
+                                 else None}
     return out
 
 

@@ -297,7 +297,11 @@ def search_endpoint(
     if aggs is not None:
         from quickwit_spark.operators.aggregations import run_aggregations
 
-        agg_result = run_aggregations(spark, index_dir, req, aggs)
+        # same snapshot as the hits: a publish landing mid-request must
+        # not produce buckets from a different index state
+        agg_result = run_aggregations(
+            spark, index_dir, req, aggs, tables=snap
+        )
     # rank order: score path desc, sort-field path per sort_asc —
     # sort-field ranks use the exact int64 (score rounds |v| > 2^53)
     asc = req.sort_asc and req.sort_field is not None

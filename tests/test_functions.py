@@ -191,6 +191,103 @@ def test_aggregations_range_and_histogram(spark, built_index, oracle_index):
             assert b["avg_len"]["value"] is not None
 
 
+def test_multi_agg_single_pass(spark, built_index, oracle_index):
+    """A multi-agg request runs ONE action over the matched docs (one
+    grouping-sets job) — the reference evaluates all aggs of a request
+    in one collector walk per segment (collector.rs:289-353)."""
+    import unittest.mock as mock
+
+    from quickwit_spark.operators.aggregations import run_aggregations
+    from quickwit_spark.operators.search import SearchRequest, get_searcher
+
+    # pyspark 4 classic DataFrame overrides collect/count — patch the
+    # runtime class, not the pyspark.sql.DataFrame facade
+    DataFrame = type(spark.range(1))
+    snap = get_searcher(spark, built_index).snapshot()
+    calls = {"collect": 0, "count": 0}
+    orig_collect, orig_count = DataFrame.collect, DataFrame.count
+
+    def counting_collect(self):
+        calls["collect"] += 1
+        return orig_collect(self)
+
+    def counting_count(self):
+        calls["count"] += 1
+        return orig_count(self)
+
+    aggs = {
+        "lens": {
+            "range": {
+                "field": "len_text",
+                "ranges": [{"to": 100}, {"from": 100, "to": 150}, {"from": 150}],
+            },
+            "aggs": {"avg_len": {"avg": {"field": "len_text"}}},
+        },
+        "hist": {"histogram": {"field": "len_text", "interval": 50}},
+        "langs": {
+            "terms": {"field": "lang", "size": 2},
+            "aggs": {"avg_len": {"avg": {"field": "len_text"}}},
+        },
+        "overall": {"stats": {"field": "len_text"}},
+    }
+    with mock.patch.object(DataFrame, "collect", counting_collect), \
+         mock.patch.object(DataFrame, "count", counting_count):
+        res = run_aggregations(
+            spark, built_index, SearchRequest(query="word"), aggs,
+            tables=snap,
+        )
+    assert calls == {"collect": 1, "count": 0}
+    total = oracle_index.count("word")
+    assert sum(b["doc_count"] for b in res["lens"]["buckets"]) == total
+    assert sum(b["doc_count"] for b in res["hist"]["buckets"]) == total
+    assert res["overall"]["count"] == total
+    # terms semantics survive the fused plan: doc_count desc, exact
+    # sum_other over docs WITH the field, sub-metrics per bucket
+    langs = res["langs"]
+    counts = [b["doc_count"] for b in langs["buckets"]]
+    assert counts == sorted(counts, reverse=True) and len(langs["buckets"]) <= 2
+    assert sum(counts) + langs["sum_other_doc_count"] == total
+    assert all(b["avg_len"]["value"] > 0 for b in langs["buckets"])
+    for b in res["lens"]["buckets"]:
+        if b["doc_count"]:
+            assert b["avg_len"]["value"] is not None
+
+
+def test_histogram_ignores_null_field_docs(spark, tmp_path):
+    """A matching doc with a NULL field contributes no histogram
+    bucket (ES semantics, matching the terms/range branches) instead
+    of a {"key": None} TypeError."""
+    import numpy as np
+
+    from quickwit_spark.operators.aggregations import run_aggregations
+    from quickwit_spark.operators.build import build_index
+    from quickwit_spark.operators.search import SearchRequest
+    from quickwit_spark.plans.config import webpages_config
+    from quickwit_spark.sources.corpus import gen_batch
+
+    pdf = gen_batch(np.arange(30), seed=3)
+    pdf["maybe_val"] = [
+        None if i % 3 == 0 else float(100 + i) for i in range(30)
+    ]
+    idx = str(tmp_path / "idx")
+    build_index(
+        spark, spark.createDataFrame(pdf), idx,
+        webpages_config(fast_fields=("warc_ts", "lang", "maybe_val")),
+        num_splits=2,
+    )
+    res = run_aggregations(
+        spark, idx, SearchRequest(query="the"),
+        {
+            "h": {"histogram": {"field": "maybe_val", "interval": 50}},
+            "n": {"value_count": {"field": "maybe_val"}},
+        },
+    )
+    buckets = res["h"]["buckets"]
+    assert buckets and all(b["key"] is not None for b in buckets)
+    # exactly the matching docs WITH the field land in buckets
+    assert sum(b["doc_count"] for b in buckets) == res["n"]["value"]
+
+
 def test_search_stream(spark, built_index, oracle_index):
     from quickwit_spark.operators.aggregations import search_stream
     from quickwit_spark.operators.search import SearchRequest
