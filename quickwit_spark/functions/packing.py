@@ -77,7 +77,13 @@ def pack_sequences(
     )
 
     # order-preserving bucket from literal quantile boundaries
-    # (recompute-safe: the bucket is a pure function of the key)
+    # (recompute-safe: the bucket is a pure function of the key).
+    # Precision at the i64 edge: the double cast collapses adjacent
+    # keys above 2^53, but int64→double rounding is MONOTONE
+    # (k1 < k2 ⇒ double(k1) ≤ double(k2)), so buckets stay
+    # order-preserving, and the within-bucket window below orders by
+    # the exact __key — global token order is exact for all int64
+    # keys (pinned by test_pack_sequences_keys_above_2_53_stay_exact)
     probs = [i / num_buckets for i in range(1, num_buckets)]
     bounds = sorted(
         set(

@@ -847,6 +847,29 @@ def test_pack_sequences_matches_bruteforce(spark):
     assert got == _brute_pack(docs, 7)
 
 
+def test_pack_sequences_keys_above_2_53_stay_exact(spark):
+    """Bucket boundaries cast keys to double, which collapses adjacent
+    int64 keys above 2^53 (double(2^53+1) == double(2^53)). Assignment
+    and ordering must stay EXACT anyway: the double cast is monotone
+    (k1 < k2 implies double(k1) <= double(k2)), so colliding keys can
+    only land in the same or an adjacent-ordered bucket, and the
+    within-bucket window orders by the exact int64 key."""
+    from quickwit_spark.functions.packing import pack_sequences
+
+    big = 1 << 53
+    docs = [
+        (big + i, " ".join(f"k{i}t{j}" for j in range(2 + i % 5)))
+        for i in range(40)  # dense: every odd key collides in double
+    ]
+    docs += [(big * 2 + 7, "tail one two"), (123, "head alpha beta")]
+    df = spark.createDataFrame(docs, "doc_id long, text string").repartition(7)
+    got = sorted(
+        tuple(r)
+        for r in pack_sequences(df, capacity=5, num_buckets=8).collect()
+    )
+    assert got == _brute_pack(docs, 5)
+
+
 def test_pack_sequences_reconstructs_stream_and_fills_capacity(spark):
     from quickwit_spark.functions.packing import pack_sequences
 
