@@ -58,19 +58,32 @@ def varbyte_encode(values: np.ndarray) -> bytes:
 
 
 def varbyte_decode(buf: bytes | np.ndarray, count: int | None = None) -> np.ndarray:
-    """Decode a varbyte stream to uint64 values (vectorized reduceat)."""
+    """Decode a varbyte stream to uint64 values.
+
+    Hot path of every posting/position read. Posting gaps and
+    position deltas are overwhelmingly single-byte, so the decode is
+    structured around that: a pure single-byte stream is one cast,
+    and mixed streams pay one masked-gather pass per byte WIDTH
+    (≤10 for u64, ~2-3 in practice) instead of an
+    ``np.add.reduceat`` over every byte (~6x slower measured on the
+    sf1 positions stream)."""
     arr = np.frombuffer(buf, dtype=np.uint8) if isinstance(buf, (bytes, bytearray, memoryview)) else buf
     if arr.size == 0:
         return np.empty(0, dtype=np.uint64)
     cont = (arr & 0x80) != 0
+    if not cont.any():
+        values = arr.astype(np.uint64)
+        if count is not None and values.size != count:
+            raise ValueError(f"decoded {values.size} values, expected {count}")
+        return values
     # a byte starts a value iff the previous byte terminated one
     starts = np.flatnonzero(np.concatenate(([True], ~cont[:-1])))
-    vid = np.zeros(arr.size, dtype=np.int64)
-    vid[starts[1:]] = 1
-    vid = np.cumsum(vid)
-    pos = np.arange(arr.size, dtype=np.uint64) - starts[vid].astype(np.uint64)
-    shifted = (arr & 0x7F).astype(np.uint64) << (np.uint64(7) * pos)
-    values = np.add.reduceat(shifted, starts)
+    low7 = (arr & 0x7F).astype(np.uint64)
+    values = low7[starts].copy()
+    lens = np.diff(np.append(starts, arr.size))
+    for k in range(1, int(lens.max())):
+        m = lens > k
+        values[m] |= low7[starts[m] + k] << np.uint64(7 * k)
     if count is not None and values.size != count:
         raise ValueError(f"decoded {values.size} values, expected {count}")
     return values
@@ -187,6 +200,73 @@ def decode_blocks(
     if not docs_out:
         return np.empty(0, dtype=np.uint64), np.empty(0, dtype=np.uint64)
     return np.concatenate(docs_out), np.concatenate(tfs_out)
+
+
+def _varbyte_decode_i32_sparse(arr: np.ndarray, count: int) -> np.ndarray:
+    """uint8 varbyte stream → int32 values, optimized for streams
+    whose values are almost all single-byte (position gaps: measured
+    multi-byte fraction ~0.04%% on the sf1 corpus). One compress pass
+    builds the output from terminal bytes; the few multi-byte runs
+    are folded in with small gathers. The phrase kernel is memory-
+    bandwidth-bound, so int32 output (half the traffic of the generic
+    uint64 decoder) is the point, not a nicety."""
+    if arr.size == 0:
+        if count:
+            raise ValueError(f"decoded 0 values, expected {count}")
+        return np.empty(0, dtype=np.int32)
+    cont = arr >= 128
+    mb = np.flatnonzero(cont)
+    if mb.size == 0:
+        out = arr.astype(np.int32)
+        if out.size != count:
+            raise ValueError(f"decoded {out.size} values, expected {count}")
+        return out
+    out = arr[~cont].astype(np.int32)
+    if out.size != count:
+        raise ValueError(f"decoded {out.size} values, expected {count}")
+    # multi-byte values = runs of continuation bytes + their terminal;
+    # runs never span values (a value's last byte clears the cont bit)
+    new_run = np.concatenate(([True], np.diff(mb) != 1))
+    run_start = mb[new_run]
+    run_last = mb[np.concatenate((new_run[1:], [True]))]
+    term = run_last + 1  # terminal byte right after the run
+    width = term - run_start  # continuation bytes per value
+    vals = np.zeros(run_start.size, dtype=np.int64)
+    for o in range(int(width.max()) + 1):
+        sel = width >= o
+        b = arr[run_start[sel] + o].astype(np.int64)
+        vals[sel] += (b & 0x7F) << (7 * o)
+    if vals.size and int(vals.max()) > np.iinfo(np.int32).max:
+        raise ValueError("varbyte value exceeds int32 range")
+    # slot of each terminal among the non-continuation bytes
+    out[term - np.searchsorted(mb, term)] = vals.astype(np.int32)
+    return out
+
+
+def decode_positions_flat(
+    pos_bytes: bytes, tfs: np.ndarray
+) -> np.ndarray:
+    """Absolute positions of EVERY doc as one flat int32 array
+    (segment i = doc i's ``tfs[i]`` positions). The dense-phrase path:
+    when most docs of a term survive the intersection, decoding the
+    whole stream (no per-doc byte-range gather) is far cheaper than
+    ``decode_positions_selected``'s selective gather."""
+    tfs = np.asarray(tfs, dtype=np.int64)
+    total = int(tfs.sum())
+    arr = np.frombuffer(pos_bytes, dtype=np.uint8)
+    gaps = _varbyte_decode_i32_sparse(arr, total)
+    if total == 0:
+        return gaps
+    seg = np.cumsum(tfs) - tfs
+    if int(np.sum(gaps, dtype=np.int64)) <= np.iinfo(np.int32).max:
+        c = np.cumsum(gaps, dtype=np.int32)
+        base = np.repeat(c[seg] - gaps[seg], tfs)
+        return c - base
+    # gap mass overflows a running int32 total (huge split) — widen
+    # the cumsum; per-doc absolute positions still fit int32
+    c = np.cumsum(gaps, dtype=np.int64)
+    base = np.repeat(c[seg] - gaps[seg].astype(np.int64), tfs)
+    return (c - base).astype(np.int32)
 
 
 def decode_positions(

@@ -34,6 +34,7 @@ from quickwit_spark.operators import bm25
 from quickwit_spark.operators.codec import (
     decode_blocks,
     decode_posting_list,
+    decode_positions_flat,
     decode_positions_selected,
     decode_skip,
 )
@@ -129,13 +130,41 @@ def eval_conjunction_terms(
     return docs, scores
 
 
+def _intersect_sorted(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """Intersection of two ASCENDING UNIQUE int64 arrays, ascending.
+    Same result as ``np.intersect1d(a, b, assume_unique=True)`` but a
+    searchsorted probe of the smaller into the larger instead of a
+    concat-and-argsort over both (~4x on multi-million-key phrase
+    streams)."""
+    if a.size > b.size:
+        a, b = b, a
+    if a.size == 0 or b.size == 0:
+        return np.empty(0, dtype=np.int64)
+    ia = np.searchsorted(b, a)
+    ia[ia == b.size] = b.size - 1
+    return a[b[ia] == a]
+
+
+# a term decodes its FULL positions stream (one pass, no per-doc byte
+# gather) once this fraction of its docs survive the intersection;
+# rare-phrase terms keep the selective per-doc gather
+_PHRASE_DENSE_FRAC = 0.25
+
+
 def eval_phrase(ctx: SplitContext, node: PhraseQ) -> tuple[np.ndarray, np.ndarray]:
-    """Positions-postings traversal, fully vectorized: positions are
-    decoded ONLY for docs in the term intersection
-    (codec.decode_positions_selected) and the adjacency check runs on
-    flat composite keys ``(doc_ord << 32) | (pos - term_offset)`` —
-    one sorted-array intersection per extra term, no per-doc Python
-    loop (r1's row-at-a-time hot spot)."""
+    """Positions-postings traversal, fully vectorized: the adjacency
+    check runs on flat composite keys ``(doc_id << 32) |
+    (pos - term_offset)`` — one sorted-array intersection per extra
+    term, no per-doc Python loop (r1's row-at-a-time hot spot).
+
+    Per-term positions decode is density-adaptive: a term whose docs
+    mostly survive the intersection (stopwords in '"of the"') decodes
+    its WHOLE stream flat (codec.decode_positions_flat — the
+    selective path's per-doc byte-range gather cost 6.2 s of the 7 s
+    sf1 phrase query); a rare term still decodes only intersection
+    docs (codec.decode_positions_selected). Keys of docs outside the
+    intersection cannot survive the cross-term key intersection, so
+    both branches produce the identical match set and scores."""
     rows = []
     for t in node.terms:
         row = ctx.postings.get((node.field, t))
@@ -145,32 +174,59 @@ def eval_phrase(ctx: SplitContext, node: PhraseQ) -> tuple[np.ndarray, np.ndarra
     decoded = [_decode_full(r) for r in rows]
     common = decoded[0][0]
     for d, _ in decoded[1:]:
-        common = np.intersect1d(common, d)
+        common = _intersect_sorted(common, d)
     if common.size == 0:
         return _EMPTY
-    # adjacency via composite keys: a phrase start at position p in
-    # doc i survives iff every term j has a position p+j in doc i
-    cand = None
+    # phase 1: per-term (doc, phrase-start) streams, int32 (doc ids
+    # are u32-guarded per split and positions int32 by encode guard) —
+    # the kernel is memory-bandwidth-bound, so dtype width is the cost
+    streams: list[tuple[np.ndarray, np.ndarray]] = []
+    max_start = 0
+    max_doc = 0
     for j, ((docs, tfs), row) in enumerate(zip(decoded, rows)):
-        idx = np.searchsorted(docs, common)
-        pos, lens = decode_positions_selected(row["pos_bytes"], tfs, idx)
-        doc_ord = np.repeat(np.arange(common.size, dtype=np.int64), lens)
-        start = pos - j  # position of the would-be phrase start
-        keep = start >= 0
-        keys = (doc_ord[keep] << np.int64(32)) | start[keep]
-        if cand is None:
-            cand = keys  # ascending: doc_ord asc, pos asc within doc
+        if common.size >= _PHRASE_DENSE_FRAC * docs.size:
+            pos = decode_positions_flat(row["pos_bytes"], tfs)  # int32
+            doc_key = np.repeat(
+                docs.astype(np.int32), np.asarray(tfs, dtype=np.int64)
+            )
         else:
-            cand = np.intersect1d(cand, keys, assume_unique=True)
+            idx = np.searchsorted(docs, common)
+            pos, lens = decode_positions_selected(row["pos_bytes"], tfs, idx)
+            pos = pos.astype(np.int32)
+            doc_key = np.repeat(common.astype(np.int32), lens)
+        if j:
+            start = pos - np.int32(j)  # would-be phrase start
+            keep = start >= 0
+            doc_key, start = doc_key[keep], start[keep]
+        else:
+            start = pos
+        if doc_key.size == 0:
+            return _EMPTY
+        max_start = max(max_start, int(start.max()))
+        max_doc = max(max_doc, int(doc_key[-1]))  # doc_key ascending
+        streams.append((doc_key, start))
+    # phase 2: adjacency via composite keys (doc << pos_bits | start),
+    # one sorted intersection per extra term. uint32 keys when the
+    # widths fit (halves traffic again); int64 otherwise.
+    pos_bits = max(1, max_start.bit_length())
+    if (max_doc + 1) <= (1 << (32 - pos_bits)):
+        kt, shift = np.uint32, np.uint32(pos_bits)
+    else:
+        kt, shift = np.int64, np.int64(pos_bits)
+    cand = None
+    for doc_key, start in streams:
+        keys = (doc_key.astype(kt) << shift) | start.astype(kt)
+        if cand is None:
+            cand = keys  # ascending: doc asc, pos asc within doc
+        else:
+            cand = _intersect_sorted(cand, keys)
         if cand.size == 0:
             return _EMPTY
-    match_tf = np.bincount(
-        (cand >> np.int64(32)).astype(np.int64), minlength=common.size
-    )
-    hit = match_tf > 0
-    docs = common[hit].astype(np.int64)
-    if docs.size == 0:
-        return _EMPTY
+    # run-length count over the sorted match keys → per-doc phrase tf
+    mdocs = (cand >> shift).astype(np.int64)
+    first = np.flatnonzero(np.concatenate(([True], mdocs[1:] != mdocs[:-1])))
+    docs = mdocs[first]
+    match_tf = np.diff(np.append(first, mdocs.size))
     idf_sum = np.float32(0.0)
     for row in rows:
         idf_sum = np.float32(
@@ -178,7 +234,7 @@ def eval_phrase(ctx: SplitContext, node: PhraseQ) -> tuple[np.ndarray, np.ndarra
         )
     weight = np.float32(idf_sum * (bm25.K1 + np.float32(1.0)))
     cache = bm25.norm_cache(ctx.avg_fieldnorm(node.field))
-    scores = bm25.score_tf(match_tf[hit], ctx.norms[node.field][docs], weight, cache)
+    scores = bm25.score_tf(match_tf, ctx.norms[node.field][docs], weight, cache)
     return docs, scores
 
 
