@@ -123,7 +123,7 @@ def eval_conjunction_terms(
         mask = _candidate_blocks(skip, docs)
         d_i, tf_i = decode_blocks(row_i["doc_bytes"], row_i["tf_bytes"], skip, mask)
         d_i = d_i.astype(np.int64)
-        common, ia, ib = np.intersect1d(docs, d_i, return_indices=True)
+        common, ia, ib = _intersect_sorted_indices(docs, d_i)
         s_i = _term_scores(ctx, t_i, common, tf_i[ib], df_i)
         scores = (scores[ia] + s_i).astype(np.float32)
         docs = common
@@ -238,8 +238,31 @@ def eval_phrase(ctx: SplitContext, node: PhraseQ) -> tuple[np.ndarray, np.ndarra
     return docs, scores
 
 
+def _intersect_sorted_indices(
+    a: np.ndarray, b: np.ndarray
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """``(common, ia, ib)`` for ASCENDING UNIQUE arrays — the
+    ``np.intersect1d(..., return_indices=True)`` contract without its
+    concat-and-argsort over both inputs (every eval result is already
+    a sorted unique doc vector, so re-sorting is pure waste)."""
+    if a.size == 0 or b.size == 0:
+        e = np.empty(0, dtype=np.int64)
+        return a[:0], e, e.copy()
+    if a.size <= b.size:
+        pos = np.searchsorted(b, a)
+        pos[pos == b.size] = b.size - 1
+        m = b[pos] == a
+        ia = np.flatnonzero(m)
+        return a[ia], ia, pos[m]
+    pos = np.searchsorted(a, b)
+    pos[pos == a.size] = a.size - 1
+    m = a[pos] == b
+    ib = np.flatnonzero(m)
+    return b[ib], pos[m], ib
+
+
 def _and_merge(a, b):
-    docs, ia, ib = np.intersect1d(a[0], b[0], return_indices=True)
+    docs, ia, ib = _intersect_sorted_indices(a[0], b[0])
     return docs, (a[1][ia] + b[1][ib]).astype(np.float32)
 
 
@@ -277,9 +300,7 @@ def eval_node(ctx: SplitContext, node) -> tuple[np.ndarray, np.ndarray]:
             # optional clauses add score where they match
             for c in node.should:
                 opt = eval_node(ctx, c)
-                common, ia, ib = np.intersect1d(
-                    res[0], opt[0], return_indices=True
-                )
+                common, ia, ib = _intersect_sorted_indices(res[0], opt[0])
                 scores = res[1].copy()
                 scores[ia] = (scores[ia] + opt[1][ib]).astype(np.float32)
                 res = (res[0], scores)
