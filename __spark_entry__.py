@@ -727,6 +727,56 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["url_dedup"] = url_dedup
 
+    def url_blocklist_filter(spark, sf_dir):
+        from quickwit_spark.functions.urlnorm import blocklist_filter
+
+        # same synthetic URL recipe as url_dedup (mirrored in the
+        # oracle); blocklist exercises host equality, label-boundary
+        # subdomain match, and longest-entry specificity in one run
+        d = _docs(spark, sf_dir)
+        m = (F.col("doc_id") % 40).cast("string")
+        url = (
+            F.when(
+                F.col("doc_id") % 4 == 0,
+                F.concat(
+                    F.lit("HTTP://WWW."), F.col("source"),
+                    F.lit(".Example.COM:80/p//"), m,
+                    F.lit("/?utm_source=x&b=2&a=1#f"),
+                ),
+            )
+            .when(
+                F.col("doc_id") % 4 == 1,
+                F.concat(
+                    F.lit("http://"), F.col("source"),
+                    F.lit(".example.com/p/"), m, F.lit("?a=1&b=2&fbclid=z"),
+                ),
+            )
+            .when(
+                F.col("doc_id") % 4 == 2,
+                F.concat(
+                    F.lit("https://cdn."), F.col("source"),
+                    F.lit(".example.com/asset/"), m,
+                ),
+            )
+            .otherwise(
+                F.concat(
+                    F.lit("http://"), F.col("source"),
+                    F.lit(".example.com/p/"), m, F.lit("/?b=2&a=1"),
+                ),
+            )
+        )
+        return blocklist_filter(
+            d.withColumn("url", url),
+            [
+                "src1.example.com",       # blocks every src1 doc
+                "cdn.src1.example.com",   # more specific — wins on cdn docs
+                "cdn.src2.example.com",   # blocks only variant-2 src2 docs
+                "spam.test",              # matches nothing
+            ],
+        )
+
+    q["url_blocklist_filter"] = url_blocklist_filter
+
     def line_dedup(spark, sf_dir):
         from quickwit_spark.functions.linededup import dedup_lines
 
@@ -829,6 +879,32 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     q["terms_agg"] = terms_agg
+
+    def agg_cardinality(spark, sf_dir):
+        from quickwit_spark.operators.aggregations import _metric_cols
+        from quickwit_spark.operators.search import (
+            SearchRequest,
+            fetch_docs,
+            matches_df,
+        )
+
+        idx = _docs_index(spark, sf_dir)
+        m = matches_df(spark, idx, SearchRequest(query="value"))
+        hits = fetch_docs(spark, idx, m, columns=["key"], bounded=False).select(
+            F.col("key").cast("long").alias("doc_id")
+        )
+        d = _docs(spark, sf_dir).select("doc_id", "lang", "source")
+        j = hits.join(d, "doc_id")
+        cols = _metric_cols(
+            "langs", {"cardinality": {"field": "lang"}}
+        ) + _metric_cols("sources", {"cardinality": {"field": "source"}})
+        return j.agg(F.count(F.lit(1)).alias("doc_count"), *cols).select(
+            "doc_count",
+            F.col("langs::cardinality").alias("n_langs"),
+            F.col("sources::cardinality").alias("n_sources"),
+        )
+
+    q["agg_cardinality"] = agg_cardinality
 
     return q
 
@@ -1659,6 +1735,41 @@ SELECT url_norm, min(doc_id) AS kept_doc_id, count(*) - 1 AS n_dups
 FROM normed GROUP BY url_norm
 """
 
+    # host canonicalization mirror of functions/urlnorm.url_host:
+    # lower, www. stripped, any :port stripped (Java∩RE2 patterns)
+    o["url_blocklist_filter"] = f"""
+WITH urls AS (
+  SELECT doc_id, {_SYNTH_URL} AS url FROM documents
+), schemed AS (
+  SELECT doc_id,
+         CASE WHEN regexp_matches(trim(url), '^([A-Za-z][A-Za-z0-9+.-]*)://')
+              THEN trim(url)
+              ELSE 'http://' || regexp_replace(trim(url), '^//', '') END AS u
+  FROM urls
+), hosts AS (
+  SELECT doc_id,
+         regexp_replace(regexp_replace(
+           lower(coalesce(regexp_extract(
+             u, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1), '')),
+           '^www\\.', ''), ':[0-9]+$', '') AS host
+  FROM schemed
+), bl AS (
+  SELECT * FROM (VALUES
+    ('src1.example.com'), ('cdn.src1.example.com'),
+    ('cdn.src2.example.com'), ('spam.test')) AS t(domain)
+), matched AS (
+  -- label-boundary suffix semantics == the Spark side's exploded
+  -- label-suffix equi-join; longest (most specific) entry wins
+  SELECT h.doc_id, max_by(bl.domain, length(bl.domain)) AS matched_domain
+  FROM hosts h JOIN bl
+    ON h.host = bl.domain OR h.host LIKE '%.' || bl.domain
+  GROUP BY h.doc_id
+)
+SELECT h.doc_id, h.host, m.matched_domain,
+       m.matched_domain IS NOT NULL AS blocked
+FROM hosts h LEFT JOIN matched m ON h.doc_id = m.doc_id
+"""
+
     o["line_dedup"] = r"""
 WITH tk AS (
   SELECT doc_id,
@@ -1818,6 +1929,16 @@ SELECT lang AS key, count(*) AS doc_count,
        round(avg(n_chars), 6) AS avg_n_chars
 FROM j WHERE lang IS NOT NULL GROUP BY lang
 ORDER BY doc_count DESC, key ASC LIMIT 3
+"""
+
+    o["agg_cardinality"] = _with(_TOKS_CTE) + """
+, m AS (SELECT DISTINCT doc_id FROM toks WHERE term = 'value')
+, j AS (SELECT d.lang, d.source
+        FROM documents d JOIN m ON d.doc_id = m.doc_id)
+SELECT count(*) AS doc_count,
+       count(DISTINCT lang) AS n_langs,
+       count(DISTINCT source) AS n_sources
+FROM j
 """
 
     return o

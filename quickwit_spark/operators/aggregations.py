@@ -40,7 +40,9 @@ from quickwit_spark.operators.search import (
     matches_df,
 )
 
-_METRIC_AGGS = ("avg", "stats", "min", "max", "sum", "value_count")
+_METRIC_AGGS = (
+    "avg", "stats", "min", "max", "sum", "value_count", "cardinality"
+)
 
 
 def _metric_cols(name: str, spec: dict) -> list:
@@ -58,6 +60,24 @@ def _metric_cols(name: str, spec: dict) -> list:
         return [F.sum(col).alias(f"{name}::sum")]
     if kind == "value_count":
         return [F.count(col).alias(f"{name}::value_count")]
+    if kind == "cardinality":
+        # ES's cardinality is an HLL estimate; default here is EXACT
+        # (count distinct — Spark plans it as a two-phase partial
+        # distinct aggregation, no driver materialization), because an
+        # exact answer that DuckDB can oracle beats a sketch when the
+        # engine can afford it. ``"approx": true`` opts into Spark's
+        # HLL++ (approx_count_distinct, ES-equivalent behavior) for
+        # ultra-high-cardinality fields where the exact distinct's
+        # shuffle of every distinct value would dominate.
+        if body.get("approx"):
+            rsd = body.get("rsd")
+            acd = (
+                F.approx_count_distinct(col, rsd)
+                if rsd is not None
+                else F.approx_count_distinct(col)
+            )
+            return [acd.alias(f"{name}::cardinality")]
+        return [F.countDistinct(col).alias(f"{name}::cardinality")]
     # stats
     return [
         F.count(col).alias(f"{name}::count"),

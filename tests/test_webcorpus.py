@@ -229,3 +229,89 @@ def test_terms_buckets_tie_break_key_asc(spark):
 
     rows = terms_buckets(df, "lang", size=2).collect()
     assert [(r["key"], r["doc_count"]) for r in rows] == [("a", 2), ("b", 2)]
+
+
+# ------------------------------------------------- domain blocklist
+def test_blocklist_filter_label_boundary_and_longest_match(spark):
+    from quickwit_spark.functions.urlnorm import blocklist_filter
+
+    rows = [
+        (1, "http://WWW.Spam.com:80/x"),   # canon host == entry
+        (2, "https://cdn.spam.com/y"),     # matches both entries
+        (3, "http://notspam.com/z"),       # suffix but NOT on a label boundary
+        (4, "http://a.cdn.spam.com/w"),    # deeper subdomain
+        (5, "http://ok.org/"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, url string")
+    out = blocklist_filter(df, ["spam.com", "cdn.spam.com"])
+    got = {
+        r["doc_id"]: (r["host"], r["matched_domain"], r["blocked"])
+        for r in out.collect()
+    }
+    assert got == {
+        1: ("spam.com", "spam.com", True),
+        # longest (most specific) entry wins when several match
+        2: ("cdn.spam.com", "cdn.spam.com", True),
+        3: ("notspam.com", None, False),
+        4: ("a.cdn.spam.com", "cdn.spam.com", True),
+        5: ("ok.org", None, False),
+    }
+    # the blocklist probe must be a broadcast HASH join (equi-join on
+    # exploded label suffixes), never a nested-loop over the blocklist
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    _no_python_eval(out)
+
+
+def test_blocklist_filter_accepts_dataframe_blocklist(spark):
+    from quickwit_spark.functions.urlnorm import blocklist_filter
+
+    df = spark.createDataFrame(
+        [(1, "http://bad.net/a"), (2, "http://good.net/a")],
+        "doc_id long, url string",
+    )
+    bdf = spark.createDataFrame([("bad.net",)], "domain string")
+    got = {r["doc_id"]: r["blocked"] for r in blocklist_filter(df, bdf).collect()}
+    assert got == {1: True, 2: False}
+
+
+# ------------------------------------------------- cardinality agg
+def test_cardinality_aggregation(spark, built_index):
+    from quickwit_spark.operators.aggregations import run_aggregations
+    from quickwit_spark.operators.search import SearchRequest
+
+    out = run_aggregations(
+        spark,
+        built_index,
+        SearchRequest(query="the"),
+        {
+            "n_langs": {"cardinality": {"field": "lang"}},
+            "langs": {
+                "terms": {"field": "lang", "size": 2},
+                # per-bucket distinct count of the bucket key itself
+                # must be exactly 1 — pins distinct-agg x groupingSets
+                "aggs": {"nl": {"cardinality": {"field": "lang"}}},
+            },
+        },
+    )
+    assert out["n_langs"]["value"] >= 1
+    for b in out["langs"]["buckets"]:
+        assert b["nl"]["value"] == 1
+
+
+def test_cardinality_exact_vs_approx(spark):
+    from quickwit_spark.operators.aggregations import _metric_cols
+
+    df = spark.createDataFrame(
+        [(i, f"v{i % 37}") for i in range(1000)], "id long, val string"
+    )
+    exact = df.agg(
+        *_metric_cols("c", {"cardinality": {"field": "val"}})
+    ).collect()[0]["c::cardinality"]
+    assert exact == 37
+    approx = df.agg(
+        *_metric_cols("c", {"cardinality": {"field": "val", "approx": True}})
+    ).collect()[0]["c::cardinality"]
+    # HLL++ at default rsd is exact-ish at this cardinality
+    assert abs(approx - 37) <= 4
