@@ -387,6 +387,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["agg_histogram"] = agg_histogram
 
+    def agg_date_histogram(spark, sf_dir):
+        from quickwit_spark.operators.aggregations import (
+            date_histogram_buckets,
+        )
+
+        ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+        return date_histogram_buckets(
+            ev,
+            "ts",
+            "6h",
+            sub_cols=[F.min("event_type").alias("first_type")],
+        )
+
+    q["agg_date_histogram"] = agg_date_histogram
+
     # ---- timestamp filtering (§2.2) over the events table ----
     def ts_filter_agg(spark, sf_dir):
         ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
@@ -1081,6 +1096,17 @@ SELECT event_type, count(*) AS n, round(sum(value), 4) AS sum_value
 FROM events
 WHERE ts >= TIMESTAMP '2024-01-08' AND ts < TIMESTAMP '2024-01-22'
 GROUP BY event_type
+"""
+
+    # epoch-aligned 6h fixed_interval buckets; integer-exact cells
+    # (bucket start in epoch MICROS, no floats anywhere)
+    o["agg_date_histogram"] = """
+SELECT epoch_us(ts) - epoch_us(ts) % 21600000000 AS bucket_us,
+       count(*) AS doc_count,
+       min(event_type) AS first_type
+FROM events
+WHERE ts IS NOT NULL
+GROUP BY 1
 """
 
     o["token_counts"] = r"""

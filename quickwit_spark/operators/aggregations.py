@@ -101,6 +101,37 @@ def _metric_result(name: str, spec: dict, row) -> object:
     return {"value": row[f"{name}::{kind}"]}
 
 
+_INTERVAL_US = {
+    "ms": 1_000, "s": 1_000_000, "m": 60_000_000,
+    "h": 3_600_000_000, "d": 86_400_000_000,
+}
+
+
+def _parse_fixed_interval(v) -> int:
+    """ES ``fixed_interval`` ("30s", "5m", "1h", "7d", "500ms") or a
+    plain number of seconds → microseconds."""
+    if isinstance(v, (int, float)):
+        us = int(v * 1_000_000)
+    else:
+        s = str(v).strip().lower()
+        unit = "ms" if s.endswith("ms") else s[-1]
+        if unit not in _INTERVAL_US:
+            raise ValueError(f"bad fixed_interval {v!r}")
+        us = int(s[: -len(unit)]) * _INTERVAL_US[unit]
+    if us <= 0:
+        raise ValueError(f"fixed_interval must be positive, got {v!r}")
+    return us
+
+
+def _date_bucket_us(field: str, interval_us: int):
+    """Epoch-aligned fixed-interval bucket start in epoch MICROS —
+    pure int64 arithmetic (``x - pmod(x, n)`` == floor-to-multiple,
+    correct for pre-epoch timestamps too; a double division would go
+    inexact past 2^53 µs ≈ year 2255)."""
+    epoch = F.unix_micros(F.col(field).cast("timestamp"))
+    return epoch - F.pmod(epoch, F.lit(interval_us))
+
+
 def _range_key(lo, hi) -> str:
     l = "*" if lo is None else f"{lo:g}"
     h = "*" if hi is None else f"{hi:g}"
@@ -137,6 +168,29 @@ def terms_buckets(
     return grouped.orderBy(F.col("doc_count").desc(), F.col("key").asc()).limit(size)
 
 
+def date_histogram_buckets(
+    df: DataFrame,
+    field: str,
+    fixed_interval,
+    sub_cols: list | None = None,
+) -> DataFrame:
+    """ES ``date_histogram`` (fixed_interval flavor) over a DataFrame:
+    one bucket per epoch-aligned interval containing ≥1 doc (ES omits
+    empty buckets unless min_doc_count=0). Plan shape: a narrow int64
+    bucket expression + ONE hash aggregation with map-side partials —
+    time-bucketing 10^12 rows is exactly this one exchange.
+
+    Returns ``(bucket_us bigint, doc_count, *sub_cols)`` — the bucket
+    start in epoch MICROS as an integer-exact cell (callers wanting a
+    timestamp wrap it in ``F.timestamp_micros``)."""
+    us = _parse_fixed_interval(fixed_interval)
+    return (
+        df.filter(F.col(field).isNotNull())
+        .groupBy(_date_bucket_us(field, us).alias("bucket_us"))
+        .agg(F.count(F.lit(1)).alias("doc_count"), *(sub_cols or []))
+    )
+
+
 def _bucket_expr(spec: dict):
     """The grouping-key Column for a bucket agg spec, or None for a
     metric-only spec. NULL key == "doc contributes to no bucket"
@@ -163,6 +217,12 @@ def _bucket_expr(spec: dict):
         # null field -> null bucket -> dropped (ES semantics; the
         # range/terms branches already ignore missing-field docs)
         return F.floor(col / F.lit(interval)) * F.lit(interval)
+    if "date_histogram" in spec:
+        body = spec["date_histogram"]
+        # null ts -> null bucket -> dropped, same as histogram/terms
+        return _date_bucket_us(
+            body["field"], _parse_fixed_interval(body["fixed_interval"])
+        )
     if "terms" in spec:
         return F.col(spec["terms"]["field"])
     return None
@@ -200,7 +260,7 @@ def run_aggregations(
     needed: set[str] = set()
     for spec in aggs.values():
         for kind, body in spec.items():
-            if kind in ("range", "histogram", "terms"):
+            if kind in ("range", "histogram", "date_histogram", "terms"):
                 needed.add(body["field"])
             elif kind in _METRIC_AGGS:
                 needed.add(body["field"])
@@ -344,6 +404,24 @@ def run_aggregations(
                 by_gid.get(gid_of[i], []), key=lambda r: float(r[f"__b{i}"])
             ):
                 b = {"key": float(r[f"__b{i}"]),
+                     "doc_count": int(r["doc_count"])}
+                for sname, sspec in sub_aggs.items():
+                    b[sname] = _metric_result(f"{i}|{sname}", sspec, r)
+                buckets.append(b)
+            out[name] = {"buckets": buckets}
+        elif "date_histogram" in spec:
+            from datetime import datetime, timezone
+
+            buckets = []
+            for r in sorted(
+                by_gid.get(gid_of[i], []), key=lambda r: int(r[f"__b{i}"])
+            ):
+                us = int(r[f"__b{i}"])
+                iso = datetime.fromtimestamp(
+                    us / 1_000_000, tz=timezone.utc
+                ).strftime("%Y-%m-%dT%H:%M:%S") + f".{(us // 1000) % 1000:03d}Z"
+                # ES date_histogram keys: epoch millis + key_as_string
+                b = {"key": us // 1000, "key_as_string": iso,
                      "doc_count": int(r["doc_count"])}
                 for sname, sspec in sub_aggs.items():
                     b[sname] = _metric_result(f"{i}|{sname}", sspec, r)

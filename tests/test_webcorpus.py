@@ -315,3 +315,76 @@ def test_cardinality_exact_vs_approx(spark):
     ).collect()[0]["c::cardinality"]
     # HLL++ at default rsd is exact-ish at this cardinality
     assert abs(approx - 37) <= 4
+
+
+# ------------------------------------------------- date_histogram
+def test_parse_fixed_interval():
+    from quickwit_spark.operators.aggregations import _parse_fixed_interval
+
+    assert _parse_fixed_interval("500ms") == 500_000
+    assert _parse_fixed_interval("30s") == 30_000_000
+    assert _parse_fixed_interval("5m") == 300_000_000
+    assert _parse_fixed_interval("1h") == 3_600_000_000
+    assert _parse_fixed_interval("7d") == 7 * 86_400_000_000
+    assert _parse_fixed_interval(2) == 2_000_000
+    with pytest.raises(ValueError):
+        _parse_fixed_interval("1w")
+    with pytest.raises(ValueError):
+        _parse_fixed_interval("0s")
+
+
+def test_date_histogram_buckets_hand_computed(spark):
+    from datetime import datetime
+
+    from quickwit_spark.operators.aggregations import date_histogram_buckets
+
+    rows = [
+        (1, datetime(2021, 3, 1, 10, 5)),
+        (2, datetime(2021, 3, 1, 10, 59)),
+        (3, datetime(2021, 3, 1, 11, 0)),
+        (4, datetime(2021, 3, 1, 13, 30)),
+        (5, None),  # null ts -> no bucket (ES semantics)
+    ]
+    df = spark.createDataFrame(rows, "id long, ts timestamp")
+    out = date_histogram_buckets(
+        df, "ts", "1h", sub_cols=[F.min("id").alias("min_id")]
+    ).orderBy("bucket_us").collect()
+    h = 3_600_000_000
+
+    def us(*a):
+        from datetime import timezone
+        return int(datetime(*a, tzinfo=timezone.utc).timestamp() * 1_000_000)
+
+    assert [(r["bucket_us"], r["doc_count"], r["min_id"]) for r in out] == [
+        (us(2021, 3, 1, 10), 2, 1),
+        (us(2021, 3, 1, 11), 1, 3),
+        (us(2021, 3, 1, 13), 1, 4),
+    ]
+    assert all(r["bucket_us"] % h == 0 for r in out)
+    _no_python_eval(date_histogram_buckets(df, "ts", "1h"))
+
+
+def test_date_histogram_via_run_aggregations(spark, built_index):
+    from quickwit_spark.operators.aggregations import run_aggregations
+    from quickwit_spark.operators.search import SearchRequest
+
+    out = run_aggregations(
+        spark,
+        built_index,
+        SearchRequest(query="the"),
+        {
+            "per_day": {
+                "date_histogram": {
+                    "field": "warc_ts", "fixed_interval": "1d",
+                },
+                "aggs": {"n_langs": {"cardinality": {"field": "lang"}}},
+            }
+        },
+    )
+    buckets = out["per_day"]["buckets"]
+    assert buckets, "matching docs must land in at least one bucket"
+    keys = [b["key"] for b in buckets]
+    assert keys == sorted(keys)
+    assert all(k % 86_400_000 == 0 for k in keys)  # epoch-millis, day-aligned
+    assert all(b["key_as_string"].endswith("T00:00:00.000Z") for b in buckets)
+    assert all(b["n_langs"]["value"] >= 1 for b in buckets)
