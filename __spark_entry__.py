@@ -402,6 +402,38 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["agg_date_histogram"] = agg_date_histogram
 
+    def agg_percentiles(spark, sf_dir):
+        from quickwit_spark.operators.search import (
+            SearchRequest,
+            fetch_docs,
+            matches_df,
+        )
+
+        idx = _docs_index(spark, sf_dir)
+        m = matches_df(spark, idx, SearchRequest(query="table"))
+        hits = fetch_docs(spark, idx, m, columns=["key"], bounded=False).select(
+            F.col("key").cast("long").alias("doc_id")
+        )
+        d = _docs(spark, sf_dir).select("doc_id", "n_chars")
+        j = hits.join(d, "doc_id")
+        # quarter percents only: rank = q*(n-1) has an exact binary
+        # fraction, so the linear interpolation over int inputs is
+        # EXACT arithmetic in both engines — no rounding in the gate
+        pcts = F.array(*[F.lit(x) for x in (0.0, 0.25, 0.5, 0.75, 1.0)])
+        return j.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.percentile(F.col("n_chars"), pcts).alias("__p"),
+        ).select(
+            "n",
+            F.col("__p")[0].alias("p0"),
+            F.col("__p")[1].alias("p25"),
+            F.col("__p")[2].alias("p50"),
+            F.col("__p")[3].alias("p75"),
+            F.col("__p")[4].alias("p100"),
+        )
+
+    q["agg_percentiles"] = agg_percentiles
+
     # ---- timestamp filtering (§2.2) over the events table ----
     def ts_filter_agg(spark, sf_dir):
         ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
@@ -1107,6 +1139,19 @@ SELECT epoch_us(ts) - epoch_us(ts) % 21600000000 AS bucket_us,
 FROM events
 WHERE ts IS NOT NULL
 GROUP BY 1
+"""
+
+    # quantile_cont == Spark `percentile` (linear interpolation at
+    # rank q*(n-1)); quarter percents over ints are EXACT arithmetic
+    o["agg_percentiles"] = _with(_TOKS_CTE) + """
+SELECT count(*) AS n,
+       quantile_cont(n_chars, 0.00) AS p0,
+       quantile_cont(n_chars, 0.25) AS p25,
+       quantile_cont(n_chars, 0.50) AS p50,
+       quantile_cont(n_chars, 0.75) AS p75,
+       quantile_cont(n_chars, 1.00) AS p100
+FROM documents
+WHERE doc_id IN (SELECT doc_id FROM toks WHERE term = 'table')
 """
 
     o["token_counts"] = r"""

@@ -135,26 +135,108 @@ def cmd_search(args) -> int:
     return 0
 
 
+def _descriptive_stats(values) -> dict | None:
+    """The reference ``describe`` per-split stats block
+    (quickwit-cli/src/index.rs:666-693, stats.rs:20-58): mean ±
+    population σ in [min … max] plus linear-interpolation quantiles.
+    The reference's call sites pass percents 50/75 for the cells it
+    labels 25%/99% (index.rs:680,683) — an apparent typo we don't
+    replicate; percents here match their labels."""
+    import math
+
+    vals = sorted(values)
+    n = len(vals)
+    if n == 0:
+        return None
+    mean = sum(vals) / n
+    std = math.sqrt(sum((v - mean) ** 2 for v in vals) / n)
+
+    def pct(p: int) -> float:
+        if n == 1:
+            return float(vals[0])
+        if p == 100:
+            return float(vals[-1])
+        rank = p / 100 * (n - 1)
+        lo = math.floor(rank)
+        return vals[lo] + (vals[lo + 1] - vals[lo]) * (rank - lo)
+
+    return {
+        "mean": round(mean, 3),
+        "std": round(std, 3),
+        "min": vals[0],
+        "max": vals[-1],
+        "quantiles": {
+            f"p{p}": round(pct(p), 3) for p in (1, 25, 50, 75, 99)
+        },
+    }
+
+
+def _split_bytes(index_dir: str, split_id) -> int:
+    """On-disk footprint of one split across the three component
+    tables (docmap/fastfields/postings partition dirs)."""
+    import os
+
+    total = 0
+    for comp in ("docmap", "fastfields", "postings"):
+        d = os.path.join(index_dir, comp, f"split_id={split_id}")
+        if not os.path.isdir(d):
+            continue
+        for root, _dirs, files in os.walk(d):
+            for f in files:
+                total += os.path.getsize(os.path.join(root, f))
+    return total
+
+
 def cmd_describe(args) -> int:
     from quickwit_spark.plans.metastore import open_metastore
 
     ms = open_metastore(args.index)
     splits = ms.splits()
-    print(
-        json.dumps(
-            {
-                "config": ms.config().to_dict(),
-                "num_published_splits": sum(
-                    1 for s in splits if s.state == "Published"
-                ),
-                "num_docs": sum(
-                    s.num_docs for s in splits if s.state == "Published"
-                ),
-                "splits": [s.to_dict() for s in splits],
-            },
-            indent=1,
-        )
-    )
+    pub = [s for s in splits if s.state == "Published"]
+    out = {
+        "config": ms.config().to_dict(),
+        "num_published_splits": len(pub),
+        "num_docs": sum(s.num_docs for s in pub),
+        "splits": [s.to_dict() for s in splits],
+    }
+    if pub:
+        # reference describe §2 "Statistics on splits"
+        # (index.rs:558-565): doc-count + size-in-MB distributions
+        out["stats"] = {
+            "doc_count": _descriptive_stats([s.num_docs for s in pub]),
+            "size_mb": _descriptive_stats(
+                [
+                    round(_split_bytes(args.index, s.split_id) / 1e6, 3)
+                    for s in pub
+                ]
+            ),
+        }
+    dmx_field = getattr(args, "demux_field", None)
+    if dmx_field and pub:
+        # reference describe §3 "Demux stats" (index.rs:575-663) —
+        # the reference reads demux_field from index settings; ours is
+        # per-operation, so describe takes it as a flag
+        vals_of = lambda s: (s.tags or {}).get(dmx_field, [])  # noqa: E731
+        uniq = sorted({v for s in pub for v in vals_of(s)})
+        ops = lambda s: int((s.lineage or {}).get("demux_ops", 0))  # noqa: E731
+        non_dmx = [s for s in pub if ops(s) == 0]
+        dmx = [s for s in pub if ops(s) > 0]
+        out["demux_stats"] = {
+            "field": dmx_field,
+            "unique_values": len(uniq),
+            "split_count_per_value": _descriptive_stats(
+                [sum(1 for s in pub if v in vals_of(s)) for v in uniq]
+            ),
+            "non_demuxed_splits": len(non_dmx),
+            "demuxed_splits": len(dmx),
+            "values_per_non_demuxed_split": _descriptive_stats(
+                [len(vals_of(s)) for s in non_dmx]
+            ),
+            "values_per_demuxed_split": _descriptive_stats(
+                [len(vals_of(s)) for s in dmx]
+            ),
+        }
+    print(json.dumps(out, indent=1))
     return 0
 
 
@@ -325,8 +407,15 @@ def main(argv: list[str] | None = None) -> int:
     )
     c.set_defaults(fn=cmd_search)
 
-    c = sub.add_parser("describe", help="index metadata")
+    c = sub.add_parser("describe", help="index metadata + split stats")
     c.add_argument("--index", required=True)
+    c.add_argument(
+        "--demux-field",
+        default=None,
+        dest="demux_field",
+        help="also print demux stats over this tag field "
+        "(reference describe §3)",
+    )
     c.set_defaults(fn=cmd_describe)
 
     c = sub.add_parser("merge", help="run merge policy (or merge --splits a,b)")

@@ -41,8 +41,12 @@ from quickwit_spark.operators.search import (
 )
 
 _METRIC_AGGS = (
-    "avg", "stats", "min", "max", "sum", "value_count", "cardinality"
+    "avg", "stats", "min", "max", "sum", "value_count", "cardinality",
+    "percentiles",
 )
+
+# ES percentiles default percents
+_DEFAULT_PERCENTS = (1.0, 5.0, 25.0, 50.0, 75.0, 95.0, 99.0)
 
 
 def _metric_cols(name: str, spec: dict) -> list:
@@ -78,6 +82,20 @@ def _metric_cols(name: str, spec: dict) -> list:
             )
             return [acd.alias(f"{name}::cardinality")]
         return [F.countDistinct(col).alias(f"{name}::cardinality")]
+    if kind == "percentiles":
+        # ES's percentiles is a t-digest estimate; default here is
+        # EXACT (Spark's `percentile`, linear interpolation between
+        # closest ranks — the same definition DuckDB's quantile_cont
+        # uses, so it oracles). ``"approx": true`` opts into Spark's
+        # approx_percentile for cases where the exact sort-based
+        # aggregation is too heavy. One aggregate computes the whole
+        # percents array.
+        pcts = [float(p) for p in body.get("percents", _DEFAULT_PERCENTS)]
+        if not pcts or any(not (0.0 <= p <= 100.0) for p in pcts):
+            raise ValueError(f"bad percents {pcts!r}")
+        arr = F.array(*[F.lit(p / 100.0) for p in pcts])
+        fn = F.approx_percentile if body.get("approx") else F.percentile
+        return [fn(col, arr).alias(f"{name}::percentiles")]
     # stats
     return [
         F.count(col).alias(f"{name}::count"),
@@ -89,7 +107,18 @@ def _metric_cols(name: str, spec: dict) -> list:
 
 
 def _metric_result(name: str, spec: dict, row) -> object:
-    (kind, _), = spec.items()
+    (kind, body), = spec.items()
+    if kind == "percentiles":
+        pcts = [float(p) for p in body.get("percents", _DEFAULT_PERCENTS)]
+        vals = row[f"{name}::percentiles"]
+        # ES response shape: {"values": {"50.0": v, ...}} (keys are
+        # the percent doubles' default rendering, e.g. "25.0")
+        return {
+            "values": {
+                str(p): (None if vals is None else vals[i])
+                for i, p in enumerate(pcts)
+            }
+        }
     if kind == "stats":
         return {
             "count": row[f"{name}::count"],

@@ -72,8 +72,24 @@ def test_cli_lifecycle(spark, cli_env, capsys):
     assert r["num_hits"] > 0
     assert all("score" in h for h in r["hits"])
 
-    r = _run(capsys, "describe", "--index", idx)
+    r = _run(capsys, "describe", "--index", idx, "--demux-field", "lang")
     assert r["num_docs"] == 200
+    # reference describe §2 stats (index.rs:558-565): 4 splits,
+    # 200 docs total (split sizes vary with the hash partitioning)
+    dc = r["stats"]["doc_count"]
+    assert dc["mean"] == 50.0 and dc["min"] <= 50 <= dc["max"]
+    q = dc["quantiles"]
+    assert (dc["min"] <= q["p1"] <= q["p25"] <= q["p50"] <= q["p75"]
+            <= q["p99"] <= dc["max"])
+    sz = r["stats"]["size_mb"]
+    assert sz["min"] > 0 and sz["max"] >= sz["min"]
+    # reference describe §3 demux stats (index.rs:575-663): nothing
+    # demuxed yet, every split carries its own lang tag set
+    dmx = r["demux_stats"]
+    assert dmx["field"] == "lang" and dmx["unique_values"] >= 1
+    assert dmx["demuxed_splits"] == 0 and dmx["non_demuxed_splits"] == 4
+    assert dmx["values_per_non_demuxed_split"]["min"] >= 1
+    assert dmx["values_per_demuxed_split"] is None
 
     r = _run(capsys, "merge", "--index", idx)
     assert len(r["operations"]) >= 1
@@ -258,3 +274,22 @@ def test_spark_submit_py_files_ingest_and_search(spark, tmp_path_factory):
     got = submit("search", "--index", idx, "--query", "the", "-k", "5")
     payload = json.loads(got[got.index("{"):])
     assert payload["num_hits"] > 0 and len(payload["hits"]) == 5
+
+
+def test_descriptive_stats_hand_computed():
+    """Linear-interpolation quantiles per stats.rs:40-58 (correct
+    percent labels, see cli._descriptive_stats docstring)."""
+    from quickwit_spark.cli import _descriptive_stats
+
+    s = _descriptive_stats([10, 20, 30, 40])
+    assert (s["mean"], s["min"], s["max"]) == (25.0, 10, 40)
+    # population σ = sqrt((225+25+25+225)/4) = sqrt(125) ≈ 11.180
+    assert s["std"] == 11.18
+    q = s["quantiles"]
+    # rank = p/100 * 3: p1 -> 10 + 0.03*10; p25 -> 17.5; p50 -> 25;
+    # p75 -> 32.5; p99 -> 39.7
+    assert q == {"p1": 10.3, "p25": 17.5, "p50": 25.0, "p75": 32.5,
+                 "p99": 39.7}
+    one = _descriptive_stats([7])
+    assert one["quantiles"]["p50"] == 7.0 and one["std"] == 0.0
+    assert _descriptive_stats([]) is None

@@ -388,3 +388,57 @@ def test_date_histogram_via_run_aggregations(spark, built_index):
     assert all(k % 86_400_000 == 0 for k in keys)  # epoch-millis, day-aligned
     assert all(b["key_as_string"].endswith("T00:00:00.000Z") for b in buckets)
     assert all(b["n_langs"]["value"] >= 1 for b in buckets)
+
+
+# ------------------------------------------------- percentiles
+def test_percentiles_metric_hand_computed(spark):
+    from quickwit_spark.operators.aggregations import (
+        _metric_cols,
+        _metric_result,
+    )
+
+    df = spark.createDataFrame([(v,) for v in (10, 20, 30, 40, 50)], "x long")
+    spec = {"percentiles": {"field": "x", "percents": [0, 25, 50, 75, 100]}}
+    row = df.agg(*_metric_cols("p", spec)).collect()[0]
+    assert _metric_result("p", spec, row) == {
+        "values": {"0.0": 10.0, "25.0": 20.0, "50.0": 30.0,
+                   "75.0": 40.0, "100.0": 50.0}
+    }
+    # linear interpolation between closest ranks: p10 -> rank 0.4
+    spec = {"percentiles": {"field": "x", "percents": [10]}}
+    row = df.agg(*_metric_cols("p", spec)).collect()[0]
+    assert _metric_result("p", spec, row) == {"values": {"10.0": 14.0}}
+    # approx path returns a value in range; bad percents raise
+    spec = {"percentiles": {"field": "x", "approx": True}}
+    vals = df.agg(*_metric_cols("p", spec)).collect()[0]["p::percentiles"]
+    assert len(vals) == 7 and all(10 <= v <= 50 for v in vals)
+    with pytest.raises(ValueError):
+        _metric_cols("p", {"percentiles": {"field": "x", "percents": [101]}})
+
+
+def test_percentiles_via_run_aggregations(spark, built_index):
+    """percentiles composes with the fused grouping-sets pass, both
+    globally and as a sub-metric of a bucket agg."""
+    from quickwit_spark.operators.aggregations import run_aggregations
+    from quickwit_spark.operators.search import SearchRequest
+
+    out = run_aggregations(
+        spark,
+        built_index,
+        SearchRequest(query="the"),
+        {
+            "len_pcts": {
+                "percentiles": {"field": "len_text",
+                                "percents": [0, 50, 100]},
+            },
+            "by_lang": {
+                "terms": {"field": "lang", "size": 3},
+                "aggs": {"p50": {"percentiles": {
+                    "field": "len_text", "percents": [50]}}},
+            },
+        },
+    )
+    g = out["len_pcts"]["values"]
+    assert g["0.0"] <= g["50.0"] <= g["100.0"]
+    for b in out["by_lang"]["buckets"]:
+        assert g["0.0"] <= b["p50"]["values"]["50.0"] <= g["100.0"]
