@@ -434,6 +434,63 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["agg_percentiles"] = agg_percentiles
 
+    def agg_extended_stats(spark, sf_dir):
+        """ES ``extended_stats`` over the docs matching 'table' —
+        integer-exact gate cells (count/min/max/sum/sum-of-squares
+        bigints over an integer fast field; avg/variance/std derive
+        from these and live in the REST response shape only)."""
+        from quickwit_spark.operators.aggregations import _metric_cols
+        from quickwit_spark.operators.search import (
+            SearchRequest,
+            fetch_docs,
+            matches_df,
+        )
+
+        idx = _docs_index(spark, sf_dir)
+        m = matches_df(spark, idx, SearchRequest(query="table"))
+        hits = fetch_docs(spark, idx, m, columns=["key"], bounded=False).select(
+            F.col("key").cast("long").alias("doc_id")
+        )
+        d = _docs(spark, sf_dir).select("doc_id", "n_chars")
+        j = hits.join(d, "doc_id")
+        spec = {"extended_stats": {"field": "n_chars"}}
+        return j.agg(*_metric_cols("e", spec)).select(
+            F.col("e::count").alias("n"),
+            F.col("e::min").cast("long").alias("min_v"),
+            F.col("e::max").cast("long").alias("max_v"),
+            F.col("e::sum").cast("long").alias("sum_v"),
+            F.col("e::sos").cast("long").alias("sum_sq"),
+        )
+
+    q["agg_extended_stats"] = agg_extended_stats
+
+    def agg_missing(spark, sf_dir):
+        """ES ``missing`` bucket agg as a per-bucket sub-metric: count
+        events whose (derived, deterministically nullable) value field
+        is absent, grouped by event_type — one conditional count
+        inside one hash aggregation."""
+        from quickwit_spark.operators.aggregations import _metric_cols
+
+        ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+        d = ev.withColumn(
+            "v_opt", F.when(F.col("value") >= 10.0, F.col("value"))
+        )
+        spec = {"missing": {"field": "v_opt"}}
+        return (
+            d.groupBy("event_type")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                *_metric_cols("m", spec),
+            )
+            .select(
+                "event_type",
+                "n",
+                F.col("m::missing").alias("n_missing"),
+            )
+        )
+
+    q["agg_missing"] = agg_missing
+
     # ---- timestamp filtering (§2.2) over the events table ----
     def ts_filter_agg(spark, sf_dir):
         ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
@@ -1152,6 +1209,28 @@ SELECT count(*) AS n,
        quantile_cont(n_chars, 1.00) AS p100
 FROM documents
 WHERE doc_id IN (SELECT doc_id FROM toks WHERE term = 'table')
+"""
+
+    # extended_stats gate cells are the integer-exact components
+    # (count / min / max / sum / sum-of-squares over a bigint field)
+    o["agg_extended_stats"] = _with(_TOKS_CTE) + """
+SELECT count(n_chars) AS n,
+       CAST(min(n_chars) AS BIGINT) AS min_v,
+       CAST(max(n_chars) AS BIGINT) AS max_v,
+       CAST(sum(n_chars) AS BIGINT) AS sum_v,
+       CAST(sum(n_chars * n_chars) AS BIGINT) AS sum_sq
+FROM documents
+WHERE doc_id IN (SELECT doc_id FROM toks WHERE term = 'table')
+"""
+
+    # missing = docs whose (derived) field is NULL, per bucket
+    o["agg_missing"] = """
+SELECT event_type,
+       count(*) AS n,
+       count(*) - count(CASE WHEN value >= 10.0 THEN value END)
+         AS n_missing
+FROM events
+GROUP BY event_type
 """
 
     o["token_counts"] = r"""

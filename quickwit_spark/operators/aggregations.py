@@ -42,7 +42,7 @@ from quickwit_spark.operators.search import (
 
 _METRIC_AGGS = (
     "avg", "stats", "min", "max", "sum", "value_count", "cardinality",
-    "percentiles",
+    "percentiles", "extended_stats", "missing",
 )
 
 # ES percentiles default percents
@@ -96,14 +96,31 @@ def _metric_cols(name: str, spec: dict) -> list:
         arr = F.array(*[F.lit(p / 100.0) for p in pcts])
         fn = F.approx_percentile if body.get("approx") else F.percentile
         return [fn(col, arr).alias(f"{name}::percentiles")]
-    # stats
-    return [
+    if kind == "missing":
+        # ES ``missing`` single-bucket agg: docs whose field is absent.
+        # One conditional count inside the shared pass — never a
+        # second scan.
+        return [
+            F.count(F.when(col.isNull(), F.lit(1)))
+            .alias(f"{name}::missing")
+        ]
+    # stats / extended_stats share the base five; extended adds the
+    # sum of squares (natural column type: integer fields stay
+    # integer-exact through Spark's bigint sum; double fields match
+    # ES's double arithmetic). variance/std_deviation derive from
+    # (count, avg, sos) at response-assembly time — ES's own naive
+    # formula (MetricAggregator's sumOfSqrs/count - avg^2), so no
+    # extra aggregate column is needed.
+    cols = [
         F.count(col).alias(f"{name}::count"),
         F.min(col).alias(f"{name}::min"),
         F.max(col).alias(f"{name}::max"),
         F.sum(col).alias(f"{name}::sum"),
         F.avg(col).alias(f"{name}::avg"),
     ]
+    if kind == "extended_stats":
+        cols.append(F.sum(col * col).alias(f"{name}::sos"))
+    return cols
 
 
 def _metric_result(name: str, spec: dict, row) -> object:
@@ -119,14 +136,35 @@ def _metric_result(name: str, spec: dict, row) -> object:
                 for i, p in enumerate(pcts)
             }
         }
-    if kind == "stats":
-        return {
+    if kind == "missing":
+        return {"doc_count": int(row[f"{name}::missing"])}
+    if kind in ("stats", "extended_stats"):
+        out = {
             "count": row[f"{name}::count"],
             "min": row[f"{name}::min"],
             "max": row[f"{name}::max"],
             "sum": row[f"{name}::sum"],
             "avg": row[f"{name}::avg"],
         }
+        if kind == "extended_stats":
+            n, avg = out["count"], out["avg"]
+            sos = row[f"{name}::sos"]
+            out["sum_of_squares"] = sos
+            if n and avg is not None and sos is not None:
+                # ES's population variance: E[x^2] - E[x]^2 (naive
+                # sum-of-squares form, matching its response exactly)
+                var = float(sos) / n - float(avg) * float(avg)
+                std = math.sqrt(max(var, 0.0))
+            else:
+                var = std = None
+            out["variance"] = var
+            out["std_deviation"] = std
+            sigma = float(body.get("sigma", 2.0))
+            out["std_deviation_bounds"] = {
+                "upper": None if std is None else float(avg) + sigma * std,
+                "lower": None if std is None else float(avg) - sigma * std,
+            }
+        return out
     return {"value": row[f"{name}::{kind}"]}
 
 
@@ -465,6 +503,17 @@ def run_aggregations(
                 if kind == "stats":
                     out[name] = {"count": 0, "min": None, "max": None,
                                  "sum": None, "avg": None}
+                elif kind == "extended_stats":
+                    out[name] = {
+                        "count": 0, "min": None, "max": None,
+                        "sum": None, "avg": None,
+                        "sum_of_squares": None, "variance": None,
+                        "std_deviation": None,
+                        "std_deviation_bounds": {"upper": None,
+                                                 "lower": None},
+                    }
+                elif kind == "missing":
+                    out[name] = {"doc_count": 0}
                 else:
                     out[name] = {"value": 0 if kind == "value_count"
                                  else None}

@@ -442,3 +442,82 @@ def test_percentiles_via_run_aggregations(spark, built_index):
     assert g["0.0"] <= g["50.0"] <= g["100.0"]
     for b in out["by_lang"]["buckets"]:
         assert g["0.0"] <= b["p50"]["values"]["50.0"] <= g["100.0"]
+
+
+# ------------------------------------------------- extended_stats / missing
+def test_extended_stats_hand_computed(spark):
+    from quickwit_spark.operators.aggregations import (
+        _metric_cols,
+        _metric_result,
+    )
+
+    # mean 5, population variance 4, std 2 (classic hand example)
+    vals = [2, 4, 4, 4, 5, 5, 7, 9, None]
+    df = spark.createDataFrame([(v,) for v in vals], "x long")
+    spec = {"extended_stats": {"field": "x"}}
+    row = df.agg(*_metric_cols("e", spec)).collect()[0]
+    out = _metric_result("e", spec, row)
+    assert out["count"] == 8
+    assert out["min"] == 2 and out["max"] == 9
+    assert out["sum"] == 40 and out["avg"] == 5.0
+    assert out["sum_of_squares"] == 232  # integer-exact on a long field
+    assert out["variance"] == 4.0 and out["std_deviation"] == 2.0
+    assert out["std_deviation_bounds"] == {"upper": 9.0, "lower": 1.0}
+    # sigma knob
+    spec = {"extended_stats": {"field": "x", "sigma": 3}}
+    out = _metric_result("e", spec, row)
+    assert out["std_deviation_bounds"] == {"upper": 11.0, "lower": -1.0}
+
+
+def test_missing_metric_hand_computed(spark):
+    from quickwit_spark.operators.aggregations import (
+        _metric_cols,
+        _metric_result,
+    )
+
+    df = spark.createDataFrame(
+        [(1, 10), (2, None), (3, None), (4, 40)], "id long, x long"
+    )
+    spec = {"missing": {"field": "x"}}
+    row = df.agg(*_metric_cols("m", spec)).collect()[0]
+    assert _metric_result("m", spec, row) == {"doc_count": 2}
+
+
+def test_extended_stats_missing_via_run_aggregations(spark, built_index):
+    """extended_stats + missing compose with the fused grouping-sets
+    pass, globally and as bucket sub-metrics, in ONE request."""
+    from quickwit_spark.operators.aggregations import run_aggregations
+    from quickwit_spark.operators.search import SearchRequest
+
+    out = run_aggregations(
+        spark,
+        built_index,
+        SearchRequest(query="the"),
+        {
+            "len_ext": {"extended_stats": {"field": "len_text"}},
+            "no_len": {"missing": {"field": "len_text"}},
+            "by_lang": {
+                "terms": {"field": "lang", "size": 3},
+                "aggs": {
+                    "ext": {"extended_stats": {"field": "len_text"}},
+                    "miss": {"missing": {"field": "len_text"}},
+                },
+            },
+        },
+    )
+    g = out["len_ext"]
+    assert g["count"] > 0
+    assert g["min"] <= g["avg"] <= g["max"]
+    assert g["variance"] >= 0 and g["std_deviation"] >= 0
+    assert g["std_deviation_bounds"]["lower"] <= g["avg"]
+    assert g["std_deviation_bounds"]["upper"] >= g["avg"]
+    # len_text is always present in the corpus fixture
+    assert out["no_len"] == {"doc_count": 0}
+    total = 0
+    for b in out["by_lang"]["buckets"]:
+        e = b["ext"]
+        assert e["count"] == b["doc_count"] - b["miss"]["doc_count"]
+        assert e["min"] <= e["avg"] <= e["max"]
+        total += b["doc_count"]
+    assert total <= g["count"] + out["no_len"]["doc_count"] + out[
+        "by_lang"]["sum_other_doc_count"]
