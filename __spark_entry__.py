@@ -927,6 +927,60 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["line_dedup"] = line_dedup
 
+    def c4_clean_pages(spark, sf_dir):
+        """C4-style line+page cleaning (T5 §2.2) over deterministically
+        reshaped pages: 10-token lines with a per-(doc,line) punctuation
+        cycle (none / '.' / '?' / ' javascript.' / '!'), a 'lorem ipsum'
+        header on doc_id%17==0 and a curly-brace footer on doc_id%13==5
+        — so every rule (terminal punct, min-words, javascript line,
+        lorem/brace/min-lines page) fires on real rows. Mirrored
+        byte-for-byte in the oracle."""
+        from quickwit_spark.functions.webclean import c4_clean
+
+        d = _docs(spark, sf_dir)
+        toks = F.filter(F.split(F.col("text"), r"\s+"), lambda t: t != "")
+        sfx = lambda i: (  # noqa: E731 — punctuation cycle, see oracle
+            F.when((F.col("doc_id") + i) % 5 == 0, F.lit(""))
+            .when((F.col("doc_id") + i) % 5 == 1, F.lit("."))
+            .when((F.col("doc_id") + i) % 5 == 2, F.lit("?"))
+            .when((F.col("doc_id") + i) % 5 == 3, F.lit(" javascript."))
+            .otherwise(F.lit("!"))
+        )
+        lines = F.transform(
+            F.sequence(
+                F.lit(0),
+                F.greatest(
+                    F.lit(0), F.floor((F.size(toks) - 1) / 10).cast("int")
+                ),
+            ),
+            lambda i: F.concat(
+                F.array_join(F.slice(toks, i * 10 + 1, 10), " "), sfx(i)
+            ),
+        )
+        text2 = F.concat(
+            F.when(
+                F.col("doc_id") % 17 == 0,
+                F.lit("lorem ipsum dolor sit amet.\n"),
+            ).otherwise(F.lit("")),
+            F.array_join(lines, "\n"),
+            F.when(
+                F.col("doc_id") % 13 == 5,
+                F.lit("\nif (x) { return y; }."),
+            ).otherwise(F.lit("")),
+        )
+        out = c4_clean(d.withColumn("text", text2))
+        # transport-robust cells: ints + md5, never raw multi-line text
+        return out.select(
+            "doc_id",
+            F.col("n_lines").cast("long").alias("n_lines"),
+            F.col("n_kept").cast("long").alias("n_kept"),
+            F.col("kept").cast("long").alias("kept"),
+            F.length("clean_text").cast("long").alias("clean_len"),
+            F.md5(F.col("clean_text")).alias("clean_md5"),
+        )
+
+    q["c4_clean_pages"] = c4_clean_pages
+
     def dup_substring_spans(spark, sf_dir):
         from quickwit_spark.functions.substring_dedup import duplicate_spans
 
@@ -1963,6 +2017,70 @@ SELECT d.doc_id, coalesce(p.n_lines, 0) AS n_lines,
        length(coalesce(p.new_text, '')) AS new_text_len,
        md5(coalesce(p.new_text, '')) AS new_text_md5
 FROM documents d LEFT JOIN per_doc p ON d.doc_id = p.doc_id
+"""
+
+    # C4 cleaning over the same deterministic reshape as the Spark side:
+    # 10-token lines, (doc_id+i)%5 punctuation cycle, lorem header on
+    # %17==0, curly-brace footer on %13==5 (functions/webclean.py).
+    o["c4_clean_pages"] = r"""
+WITH tk AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS toks
+  FROM documents
+), bodylines AS (
+  SELECT doc_id, i.i AS i,
+         array_to_string(toks[i.i*10+1 : i.i*10+10], ' ')
+         || CASE (doc_id + i.i) % 5
+              WHEN 0 THEN '' WHEN 1 THEN '.' WHEN 2 THEN '?'
+              WHEN 3 THEN ' javascript.' ELSE '!' END AS line
+  FROM tk, UNNEST(generate_series(0, greatest(0, CAST(floor((len(toks) - 1) / 10.0) AS BIGINT)))) AS i(i)
+), reshaped AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 17 = 0
+              THEN 'lorem ipsum dolor sit amet.' || chr(10) ELSE '' END
+         || string_agg(line, chr(10) ORDER BY i)
+         || CASE WHEN doc_id % 13 = 5
+                 THEN chr(10) || 'if (x) { return y; }.' ELSE '' END AS text2
+  FROM bodylines GROUP BY doc_id
+), splitlines AS (
+  SELECT doc_id, text2, string_split(text2, chr(10)) AS ls FROM reshaped
+), rawlines AS (
+  SELECT doc_id, i.i AS ord, trim(ls[i.i]) AS line
+  FROM splitlines, UNNEST(generate_series(1, len(ls))) AS i(i)
+), lines AS (
+  SELECT doc_id, ord, line FROM rawlines WHERE line <> ''
+), kept AS (
+  SELECT doc_id, ord, line FROM lines
+  WHERE right(line, 1) IN ('.', '!', '?', '"')
+    AND len(list_filter(string_split(line, ' '), w -> w <> '')) >= 5
+    AND NOT contains(lower(line), 'javascript')
+), nl AS (
+  SELECT doc_id, count(*) AS n_lines FROM lines GROUP BY doc_id
+), nk AS (
+  SELECT doc_id, count(*) AS n_kept,
+         string_agg(line, chr(10) ORDER BY ord) AS ctext
+  FROM kept GROUP BY doc_id
+), final AS (
+  SELECT r.doc_id,
+         coalesce(nl.n_lines, 0) AS n_lines,
+         coalesce(nk.n_kept, 0) AS n_kept,
+         CASE WHEN NOT contains(lower(r.text2), 'lorem ipsum')
+                   AND NOT contains(r.text2, '{')
+                   AND coalesce(nk.n_kept, 0) >= 3
+              THEN 1 ELSE 0 END AS kept,
+         coalesce(nk.ctext, '') AS ctext
+  FROM reshaped r
+  LEFT JOIN nl ON r.doc_id = nl.doc_id
+  LEFT JOIN nk ON r.doc_id = nk.doc_id
+)
+SELECT doc_id,
+       CAST(n_lines AS BIGINT) AS n_lines,
+       CAST(n_kept AS BIGINT) AS n_kept,
+       CAST(kept AS BIGINT) AS kept,
+       CAST(length(CASE WHEN kept = 1 THEN ctext ELSE '' END) AS BIGINT)
+         AS clean_len,
+       md5(CASE WHEN kept = 1 THEN ctext ELSE '' END) AS clean_md5
+FROM final
 """
 
     _GRAMS_13 = r"""
