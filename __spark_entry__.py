@@ -981,6 +981,36 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["c4_clean_pages"] = c4_clean_pages
 
+    def gopher_quality(spark, sf_dir):
+        """Gopher rule bundle (Rae et al. 2021 Table A1) over docs with
+        deterministic marker injection so every rule fires: bullet
+        prefix on doc_id%7==0, '#' symbols on %6==0, ellipsis ending on
+        %11==0, an extra bullet line on %5==0 — mirrored in the oracle.
+        Every cell is an integer (the rules are integer-exact rewrites
+        of the paper's ratio thresholds)."""
+        from quickwit_spark.functions.gopher import gopher_rules
+
+        d = _docs(spark, sf_dir)
+        text2 = F.concat(
+            F.when(F.col("doc_id") % 7 == 0, F.lit("• ")).otherwise(
+                F.lit("")
+            ),
+            F.col("text"),
+            F.when(F.col("doc_id") % 6 == 0, F.lit(" # # #")).otherwise(
+                F.lit("")
+            ),
+            F.when(F.col("doc_id") % 11 == 0, F.lit(" ...")).otherwise(
+                F.lit("")
+            ),
+            F.when(
+                F.col("doc_id") % 5 == 0,
+                F.lit("\n• more items follow here ..."),
+            ).otherwise(F.lit("")),
+        )
+        return gopher_rules(d.withColumn("text", text2))
+
+    q["gopher_quality"] = gopher_quality
+
     def dup_substring_spans(spark, sf_dir):
         from quickwit_spark.functions.substring_dedup import duplicate_spans
 
@@ -2081,6 +2111,70 @@ SELECT doc_id,
          AS clean_len,
        md5(CASE WHEN kept = 1 THEN ctext ELSE '' END) AS clean_md5
 FROM final
+"""
+
+    # Gopher rules over the same deterministic marker injection as the
+    # Spark side (functions/gopher.py); all cells integer-exact.
+    o["gopher_quality"] = r"""
+WITH reshaped AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 7 = 0 THEN '• ' ELSE '' END
+         || text
+         || CASE WHEN doc_id % 6 = 0 THEN ' # # #' ELSE '' END
+         || CASE WHEN doc_id % 11 = 0 THEN ' ...' ELSE '' END
+         || CASE WHEN doc_id % 5 = 0
+                 THEN chr(10) || '• more items follow here ...'
+                 ELSE '' END AS t
+  FROM documents
+), feat AS (
+  SELECT doc_id, t,
+         list_filter(regexp_split_to_array(t, '\s+'), w -> w <> '') AS words,
+         list_filter(list_transform(string_split(t, chr(10)), l -> trim(l)),
+                     l -> l <> '') AS ls
+  FROM reshaped
+), counts AS (
+  SELECT doc_id,
+    CAST(len(words) AS BIGINT) AS n_words,
+    CAST(coalesce(list_sum(list_transform(words, w -> length(w))), 0)
+         AS BIGINT) AS word_chars,
+    CAST(length(t) - length(replace(t, '#', '')) AS BIGINT)
+      + CAST((length(t) - length(replace(t, '...', ''))) // 3 AS BIGINT)
+      AS n_symbols,
+    CAST(len(ls) AS BIGINT) AS n_lines,
+    CAST(len(list_filter(ls, l -> starts_with(l, '•')
+                                  OR starts_with(l, '- ')
+                                  OR starts_with(l, '* '))) AS BIGINT)
+      AS n_bullet,
+    CAST(len(list_filter(ls, l -> ends_with(l, '...')
+                                  OR ends_with(l, '…'))) AS BIGINT)
+      AS n_ellipsis,
+    CAST(len(list_filter(words, w -> regexp_matches(w, '[a-zA-Z]')))
+         AS BIGINT) AS n_alpha,
+    CAST(len(list_intersect(
+           list_distinct(list_filter(
+             regexp_split_to_array(lower(t), '[^a-z0-9]+'), x -> x <> '')),
+           ['the','be','to','of','and','that','have','with'])) AS BIGINT)
+      AS n_required
+  FROM feat
+)
+SELECT doc_id, n_words, word_chars, n_symbols, n_lines, n_bullet,
+       n_ellipsis, n_alpha, n_required,
+       CAST(n_words BETWEEN 50 AND 100000 AS INT) AS r_word_count,
+       CAST(3 * n_words <= word_chars AND word_chars <= 10 * n_words
+            AS INT) AS r_mean_word_len,
+       CAST(10 * n_symbols <= n_words AS INT) AS r_symbol_ratio,
+       CAST(10 * n_bullet <= 9 * n_lines AS INT) AS r_bullet_lines,
+       CAST(10 * n_ellipsis <= 3 * n_lines AS INT) AS r_ellipsis_lines,
+       CAST(5 * n_alpha >= 4 * n_words AS INT) AS r_alpha_words,
+       CAST(n_required >= 2 AS INT) AS r_required_stops,
+       CAST(n_words BETWEEN 50 AND 100000
+            AND 3 * n_words <= word_chars AND word_chars <= 10 * n_words
+            AND 10 * n_symbols <= n_words
+            AND 10 * n_bullet <= 9 * n_lines
+            AND 10 * n_ellipsis <= 3 * n_lines
+            AND 5 * n_alpha >= 4 * n_words
+            AND n_required >= 2 AS INT) AS keep
+FROM counts
 """
 
     _GRAMS_13 = r"""
