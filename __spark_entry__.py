@@ -1011,6 +1011,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["gopher_quality"] = gopher_quality
 
+    def dup_substring_removed(spark, sf_dir):
+        """Lee et al. ExactSubstr removal: cut every duplicated ≥13-token
+        span out of every doc and re-join. Transport-robust cells (ints
+        + md5 of the rewritten text)."""
+        from quickwit_spark.functions.substring_dedup import (
+            remove_duplicate_spans,
+        )
+
+        out = remove_duplicate_spans(_docs(spark, sf_dir), k=13, min_docs=2)
+        return out.select(
+            "doc_id",
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+            F.col("n_removed").cast("long").alias("n_removed"),
+            F.length("new_text").cast("long").alias("new_len"),
+            F.md5(F.col("new_text")).alias("new_md5"),
+        )
+
+    q["dup_substring_removed"] = dup_substring_removed
+
     def dup_substring_spans(spark, sf_dir):
         from quickwit_spark.functions.substring_dedup import duplicate_spans
 
@@ -2227,6 +2246,34 @@ SELECT t.doc_id, len(t.toks) AS n_tokens,
        coalesce(p.dup_tokens, 0) AS dup_tokens,
        coalesce(p.n_spans, 0) AS n_spans
 FROM tk t LEFT JOIN per_doc p ON t.doc_id = p.doc_id
+"""
+
+    # ExactSubstr removal: same spans CTE, then cut covered token
+    # indices and re-join — cells are ints + md5 of the rewrite.
+    o["dup_substring_removed"] = f"""
+WITH {_GRAMS_13}
+, tok AS (
+  SELECT doc_id, i.i - 1 AS idx, toks[i.i] AS tok
+  FROM tk, UNNEST(generate_series(1, len(toks))) AS i(i)
+), kept AS (
+  SELECT t.doc_id, t.idx, t.tok
+  FROM tok t
+  WHERE NOT EXISTS (
+    SELECT 1 FROM spans s
+    WHERE s.doc_id = t.doc_id
+      AND s.span_start <= t.idx AND t.idx < s.span_end
+  )
+), agg AS (
+  SELECT doc_id, count(*) AS n_kept,
+         string_agg(tok, ' ' ORDER BY idx) AS new_text
+  FROM kept GROUP BY doc_id
+)
+SELECT t.doc_id,
+       CAST(len(t.toks) AS BIGINT) AS n_tokens,
+       CAST(len(t.toks) - coalesce(a.n_kept, 0) AS BIGINT) AS n_removed,
+       CAST(length(coalesce(a.new_text, '')) AS BIGINT) AS new_len,
+       md5(coalesce(a.new_text, '')) AS new_md5
+FROM tk t LEFT JOIN agg a ON t.doc_id = a.doc_id
 """
 
     o["domain_stats"] = r"""

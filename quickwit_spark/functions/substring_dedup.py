@@ -101,6 +101,57 @@ def duplicate_spans(
     )
 
 
+def remove_duplicate_spans(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 13,
+    min_docs: int = 2,
+) -> DataFrame:
+    """The paper's remedy applied: rewrite each doc with every token
+    inside a duplicated span cut out (ALL occurrences — Lee et al.'s
+    ExactSubstr protocol), single-space-rejoined in original order.
+
+    Returns (doc_id, n_tokens, n_removed, new_text); docs with no
+    duplicated span pass through verbatim-normalized (whitespace
+    collapsed by the split/rejoin).
+
+    Scale shape: the spans DataFrame is grouped per doc (a few spans
+    each) and joined back — span lists are tiny, so AQE broadcasts;
+    the cut itself is a per-row ``filter`` over the token index with
+    an ``exists`` probe into the doc's span array: O(tokens × spans)
+    inside codegen, no Python, no extra shuffle beyond the span
+    detection itself.
+    """
+    spans = duplicate_spans(df, text_col, id_col, k, min_docs)
+    per_doc = spans.groupBy("doc_id").agg(
+        F.collect_list(F.struct("span_start", "span_end")).alias("spans")
+    )
+    toks = F.filter(F.split(F.col(text_col), r"\s+"), lambda t: t != "")
+    base = df.select(F.col(id_col).alias("doc_id"), toks.alias("toks"))
+    joined = base.join(per_doc, "doc_id", "left").select(
+        "doc_id",
+        "toks",
+        F.coalesce(
+            "spans",
+            F.array().cast("array<struct<span_start:int,span_end:int>>"),
+        ).alias("spans"),
+    )
+    kept = F.filter(
+        F.col("toks"),
+        lambda t, i: ~F.exists(
+            F.col("spans"),
+            lambda s: (s["span_start"] <= i) & (i < s["span_end"]),
+        ),
+    )
+    return joined.select(
+        "doc_id",
+        F.size("toks").alias("n_tokens"),
+        (F.size("toks") - F.size(kept)).alias("n_removed"),
+        F.array_join(kept, " ").alias("new_text"),
+    )
+
+
 def duplicated_fraction(
     df: DataFrame,
     text_col: str = "text",

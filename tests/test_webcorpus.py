@@ -157,6 +157,33 @@ def test_duplicated_fraction(spark):
     assert len(out) == 3  # docs with no spans still present
 
 
+def test_remove_duplicate_spans(spark):
+    from quickwit_spark.functions.substring_dedup import (
+        remove_duplicate_spans,
+    )
+
+    shared = " ".join(f"s{i}" for i in range(6))
+    a_tail = " ".join(f"a{i}" for i in range(6))
+    rows = [
+        (0, shared + " " + a_tail),
+        (1, shared + " " + " ".join(f"b{i}" for i in range(6))),
+        (2, "nothing   shared\nat all"),  # messy whitespace normalizes
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r["doc_id"]: r
+        for r in remove_duplicate_spans(df, k=6, min_docs=2).collect()
+    }
+    # the shared 6-token prefix is cut from BOTH docs (all occurrences)
+    assert out[0]["n_tokens"] == 12 and out[0]["n_removed"] == 6
+    assert out[0]["new_text"] == a_tail
+    assert out[1]["n_removed"] == 6
+    # untouched doc passes through whitespace-normalized, nothing cut
+    assert out[2]["n_removed"] == 0
+    assert out[2]["new_text"] == "nothing shared at all"
+    _no_python_eval(remove_duplicate_spans(df, k=6))
+
+
 # ------------------------------------------------------ domain stats
 def test_domain_stats_modal_lang_tiebreak(spark):
     rows = [
