@@ -1030,6 +1030,46 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["dup_substring_removed"] = dup_substring_removed
 
+    def para_dedup(spark, sf_dir):
+        """Exact PARAGRAPH dedup (RefinedWeb granularity): same engine
+        as line_dedup with sep='\\n\\n' — docs reshaped into 25-token
+        paragraphs, boilerplate paragraphs injected on doc_id%5==0 /
+        %7==0 exactly as the oracle mirrors."""
+        from quickwit_spark.functions.linededup import dedup_lines
+
+        d = _docs(spark, sf_dir)
+        toks = F.filter(F.split(F.col("text"), r"\s+"), lambda t: t != "")
+        paras = F.transform(
+            F.sequence(
+                F.lit(0),
+                F.greatest(
+                    F.lit(0), F.floor((F.size(toks) - 1) / 25).cast("int")
+                ),
+            ),
+            lambda i: F.array_join(F.slice(toks, i * 25 + 1, 25), " "),
+        )
+        text2 = F.concat(
+            F.when(
+                F.col("doc_id") % 5 == 0,
+                F.lit("subscribe to our newsletter for updates\n\n"),
+            ).otherwise(F.lit("")),
+            F.array_join(paras, "\n\n"),
+            F.when(
+                F.col("doc_id") % 7 == 0,
+                F.lit("\n\ncopyright example inc all rights reserved"),
+            ).otherwise(F.lit("")),
+        )
+        out = dedup_lines(d.withColumn("text", text2), sep="\n\n")
+        return out.select(
+            "doc_id",
+            F.col("n_lines").cast("long").alias("n_paras"),
+            F.col("n_removed").cast("long").alias("n_removed"),
+            F.length("new_text").cast("long").alias("new_len"),
+            F.md5(F.col("new_text")).alias("new_md5"),
+        )
+
+    q["para_dedup"] = para_dedup
+
     def dup_substring_spans(spark, sf_dir):
         from quickwit_spark.functions.substring_dedup import duplicate_spans
 
@@ -2065,6 +2105,54 @@ SELECT d.doc_id, coalesce(p.n_lines, 0) AS n_lines,
        coalesce(p.n_removed, 0) AS n_removed,
        length(coalesce(p.new_text, '')) AS new_text_len,
        md5(coalesce(p.new_text, '')) AS new_text_md5
+FROM documents d LEFT JOIN per_doc p ON d.doc_id = p.doc_id
+"""
+
+    # Paragraph dedup: line_dedup's oracle at paragraph granularity —
+    # 25-token paragraphs joined/split on a blank-line separator.
+    o["para_dedup"] = r"""
+WITH tk AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS toks
+  FROM documents
+), reshaped AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 5 = 0
+              THEN 'subscribe to our newsletter for updates' || chr(10) || chr(10)
+              ELSE '' END
+         || coalesce((SELECT string_agg(array_to_string(toks[i.i*25+1 : i.i*25+25], ' '), chr(10) || chr(10) ORDER BY i.i)
+             FROM UNNEST(generate_series(0, greatest(0, CAST(floor((len(toks) - 1) / 25.0) AS BIGINT)))) AS i(i)), '')
+         || CASE WHEN doc_id % 7 = 0
+                 THEN chr(10) || chr(10) || 'copyright example inc all rights reserved'
+                 ELSE '' END AS text2
+  FROM tk
+), splitp AS (
+  SELECT doc_id, string_split(text2, chr(10) || chr(10)) AS ps FROM reshaped
+), rawp AS (
+  SELECT doc_id, i.i AS ord, trim(ps[i.i]) AS para
+  FROM splitp, UNNEST(generate_series(1, len(ps))) AS i(i)
+), paras AS (
+  SELECT doc_id, para,
+         ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY ord) - 1 AS pos
+  FROM rawp WHERE para <> ''
+), dup AS (
+  SELECT para FROM (
+    SELECT para, count(DISTINCT doc_id) AS c FROM paras GROUP BY para
+  ) WHERE c >= 2
+), marked AS (
+  SELECT p.doc_id, p.pos, p.para, (d.para IS NOT NULL) AS is_dup
+  FROM paras p LEFT JOIN dup d ON p.para = d.para
+), per_doc AS (
+  SELECT doc_id, count(*) AS n_paras,
+         sum(CASE WHEN is_dup THEN 1 ELSE 0 END) AS n_removed,
+         coalesce(string_agg(CASE WHEN NOT is_dup THEN para END,
+                             chr(10) || chr(10) ORDER BY pos), '') AS new_text
+  FROM marked GROUP BY doc_id
+)
+SELECT d.doc_id, coalesce(p.n_paras, 0) AS n_paras,
+       coalesce(p.n_removed, 0) AS n_removed,
+       CAST(length(coalesce(p.new_text, '')) AS BIGINT) AS new_len,
+       md5(coalesce(p.new_text, '')) AS new_md5
 FROM documents d LEFT JOIN per_doc p ON d.doc_id = p.doc_id
 """
 

@@ -29,11 +29,15 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def _lines(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
-    """(id, pos, line): trimmed non-empty lines with original index.
-    ``pos`` counts RETAINED lines (post-filter), matching the oracle.
+def _lines(
+    df: DataFrame, text_col: str, id_col: str, sep: str = "\n"
+) -> DataFrame:
+    """(id, pos, line): trimmed non-empty units with original index.
+    ``pos`` counts RETAINED units (post-filter), matching the oracle.
+    ``sep`` picks the unit: ``"\\n"`` = lines, ``"\\n\\n"`` = paragraphs
+    (the RefinedWeb-style paragraph-dedup granularity).
     """
-    arr = F.transform(F.split(F.col(text_col), "\n"), lambda l: F.trim(l))
+    arr = F.transform(F.split(F.col(text_col), sep), lambda l: F.trim(l))
     kept = F.filter(arr, lambda l: l != "")
     return (
         df.select(F.col(id_col).alias("doc_id"), F.posexplode(kept).alias("pos", "line"))
@@ -45,16 +49,23 @@ def dedup_lines(
     text_col: str = "text",
     id_col: str = "doc_id",
     min_docs: int = 2,
+    sep: str = "\n",
 ) -> DataFrame:
     """Per input doc: ``n_lines`` (trimmed non-empty), ``n_removed``
     (lines whose exact text occurs in ≥ ``min_docs`` distinct docs),
-    and ``new_text`` — the kept lines re-joined with ``\\n`` in
+    and ``new_text`` — the kept lines re-joined with ``sep`` in
     original order ('' when everything was removed).
+
+    ``sep="\\n\\n"`` turns this into exact PARAGRAPH dedup (CCNet /
+    RefinedWeb's coarser granularity) with identical plan shape — the
+    unit hash, not the unit text, is what shuffles.
 
     Docs whose text has no retained lines at all still appear, with
     ``n_lines = 0`` and ``new_text = ''``.
     """
-    lines = _lines(df, text_col, id_col).withColumn("h", F.md5(F.col("line")))
+    lines = _lines(df, text_col, id_col, sep).withColumn(
+        "h", F.md5(F.col("line"))
+    )
     dup = (
         lines.select("h", "doc_id")
         .distinct()
@@ -79,7 +90,7 @@ def dedup_lines(
                 ),
                 lambda s: s["line"],
             ),
-            "\n",
+            sep,
         ).alias("new_text"),
     )
     base = df.select(F.col(id_col).alias("doc_id"))

@@ -157,6 +157,26 @@ def test_duplicated_fraction(spark):
     assert len(out) == 3  # docs with no spans still present
 
 
+def test_dedup_paragraphs_sep(spark):
+    boiler = "shared boilerplate para"
+    rows = [
+        (0, boiler + "\n\nunique a one\n\nunique a two"),
+        (1, boiler + "\n\nunique b one"),
+        (2, "line with\nan internal newline\n\n" + boiler),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r["doc_id"]: r
+        for r in dedup_lines(df, min_docs=2, sep="\n\n").collect()
+    }
+    assert out[0]["n_removed"] == 1
+    assert out[0]["new_text"] == "unique a one\n\nunique a two"
+    assert out[1]["new_text"] == "unique b one"
+    # single newlines stay INSIDE a paragraph at this granularity
+    assert out[2]["n_lines"] == 2
+    assert out[2]["new_text"] == "line with\nan internal newline"
+
+
 def test_remove_duplicate_spans(spark):
     from quickwit_spark.functions.substring_dedup import (
         remove_duplicate_spans,
