@@ -1070,6 +1070,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["para_dedup"] = para_dedup
 
+    def sessionize_events(spark, sf_dir):
+        """Gaps-and-islands sessionization of the events table (30-min
+        inactivity gap). All cells int64 µs — integer-exact."""
+        from quickwit_spark.functions.sessions import sessionize
+
+        ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+        return sessionize(ev, gap_us=30 * 60 * 1_000_000)
+
+    q["sessionize_events"] = sessionize_events
+
     def dup_substring_spans(spark, sf_dir):
         from quickwit_spark.functions.substring_dedup import duplicate_spans
 
@@ -2106,6 +2116,29 @@ SELECT d.doc_id, coalesce(p.n_lines, 0) AS n_lines,
        length(coalesce(p.new_text, '')) AS new_text_len,
        md5(coalesce(p.new_text, '')) AS new_text_md5
 FROM documents d LEFT JOIN per_doc p ON d.doc_id = p.doc_id
+"""
+
+    # Sessionization: same gaps-and-islands in SQL, all int64 µs cells.
+    o["sessionize_events"] = """
+WITH e AS (
+  SELECT user_id, epoch_us(ts) AS us FROM events
+), flagged AS (
+  SELECT user_id, us,
+         CASE WHEN us - lag(us) OVER (PARTITION BY user_id ORDER BY us)
+                   <= 1800000000
+              THEN 0 ELSE 1 END AS ns
+  FROM e
+), isl AS (
+  SELECT user_id, us,
+         sum(ns) OVER (PARTITION BY user_id ORDER BY us
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - 1
+           AS session_seq
+  FROM flagged
+)
+SELECT user_id, session_seq, count(*) AS n_events,
+       min(us) AS start_us, max(us) AS end_us,
+       max(us) - min(us) AS duration_us
+FROM isl GROUP BY user_id, session_seq
 """
 
     # Paragraph dedup: line_dedup's oracle at paragraph granularity —
