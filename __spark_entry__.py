@@ -1080,6 +1080,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["sessionize_events"] = sessionize_events
 
+    def quality_clf(spark, sf_dir):
+        """Hash-feature linear quality classifier — integer logits,
+        keep = mean token weight >= 0 (threshold 0/1)."""
+        from quickwit_spark.functions.quality_clf import quality_classifier
+
+        return quality_classifier(_docs(spark, sf_dir))
+
+    q["quality_clf"] = quality_clf
+
     def dup_substring_spans(spark, sf_dir):
         from quickwit_spark.functions.substring_dedup import duplicate_spans
 
@@ -2116,6 +2125,28 @@ SELECT d.doc_id, coalesce(p.n_lines, 0) AS n_lines,
        length(coalesce(p.new_text, '')) AS new_text_len,
        md5(coalesce(p.new_text, '')) AS new_text_md5
 FROM documents d LEFT JOIN per_doc p ON d.doc_id = p.doc_id
+"""
+
+    # Hash-feature classifier: per-token md5-keyed integer weights in
+    # [-1000, 1000], logit = integer sum (functions/quality_clf.py).
+    o["quality_clf"] = r"""
+WITH tk AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                     x -> x <> '') AS toks
+  FROM documents
+)
+SELECT doc_id,
+       CAST(len(toks) AS BIGINT) AS n_tokens,
+       CAST(coalesce(list_sum(list_transform(toks,
+              t -> CAST(('0x' || substr(md5('qclf|' || t), 1, 8)) AS BIGINT)
+                   % 2001 - 1000)), 0) AS BIGINT) AS logit,
+       CASE WHEN len(toks) > 0
+                 AND coalesce(list_sum(list_transform(toks,
+                       t -> CAST(('0x' || substr(md5('qclf|' || t), 1, 8))
+                            AS BIGINT) % 2001 - 1000)), 0) >= 0
+            THEN 1 ELSE 0 END AS keep
+FROM tk
 """
 
     # Sessionization: same gaps-and-islands in SQL, all int64 µs cells.
