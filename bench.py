@@ -159,7 +159,22 @@ def main() -> None:
         attempts: list[float] = []
         ambients: list[dict] = []
         built_docs = 0
-        for i in range(2):
+        def _unstable(atts: list) -> bool:
+            # stable when the two FASTEST attempts agree within 35% —
+            # the slowest (usually attempt 1, which also pays JIT /
+            # Arrow-worker warmup) never vetoes stability
+            if len(atts) < 2:
+                return True
+            fastest, second = sorted(atts)[:2]
+            return second / fastest > 1.35
+
+        i = 0
+        while len(attempts) < 2 or (
+            # disagreeing attempts mean ambient noise landed inside
+            # one — take another (bounded at 4 so a truly loaded host
+            # still finishes and reports honest numbers + telemetry)
+            len(attempts) < 4 and _unstable(attempts)
+        ):
             attempt_dir = index_dir if i == 0 else tempfile.mkdtemp(
                 prefix="qws_bench_idx_"
             )
@@ -172,6 +187,7 @@ def main() -> None:
             built_docs = sum(m.num_docs for m in metas)
             if i > 0:
                 shutil.rmtree(attempt_dir, ignore_errors=True)
+            i += 1
         build_secs = min(attempts)
         ambient_pre = ambients[attempts.index(build_secs)]
         queries["index_build"] = round(build_secs, 3)
@@ -249,6 +265,40 @@ def main() -> None:
                 pack_sequences(d, capacity=2048).count()
 
             queries["pack_sequences"] = round(p50(run_pack, runs=3), 3)
+
+            # round-5 cleaning/quality headliners (shuffle-free maps)
+            from quickwit_spark.functions.gopher import gopher_rules
+            from quickwit_spark.functions.webclean import c4_clean
+
+            def run_c4():
+                c4_clean(d).agg(F.sum("n_kept")).collect()
+
+            queries["c4_clean"] = round(p50(run_c4, runs=3), 3)
+
+            def run_gopher():
+                gopher_rules(d).agg(F.sum("keep")).collect()
+
+            queries["gopher_rules"] = round(p50(run_gopher, runs=3), 3)
+
+            from quickwit_spark.functions.quality_clf import (
+                quality_classifier,
+            )
+
+            def run_qclf():
+                quality_classifier(d).agg(F.sum("keep")).collect()
+
+            queries["quality_clf"] = round(p50(run_qclf, runs=3), 3)
+
+        events_path = os.path.join(sf_dir, "events.parquet")
+        if os.path.exists(events_path):
+            from quickwit_spark.functions.sessions import sessionize
+
+            ev = spark.read.parquet(events_path)
+
+            def run_sessions():
+                sessionize(ev).count()
+
+            queries["sessionize"] = round(p50(run_sessions, runs=3), 3)
 
         total = time.time() - t_total0
         print(
