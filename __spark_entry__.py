@@ -1089,6 +1089,46 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["quality_clf"] = quality_clf
 
+    def agg_filters(spark, sf_dir):
+        """ES ``filters`` bucket agg: overlapping named predicates as
+        conditional counts + masked sub-metrics (min event_id) in ONE
+        aggregation pass — the same composition run_aggregations
+        plans. All cells integers."""
+        from quickwit_spark.operators.aggregations import (
+            _filter_cond,
+            _metric_cols,
+        )
+
+        ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+        fspecs = {
+            "clicks": {"term": {"field": "event_type", "value": "click"}},
+            "views": {"term": {"field": "event_type", "value": "view"}},
+            "big": {"range": {"field": "value", "from": 50.0}},
+            "all": {"match_all": {}},
+        }
+        cols, names = [], []
+        for fname, fbody in fspecs.items():
+            cond = _filter_cond(fbody)
+            cols.append(
+                F.count(F.when(cond, F.lit(1))).alias(f"n_{fname}")
+            )
+            cols += _metric_cols(
+                fname,
+                {"min": {"field": "event_id"}},
+                col=F.when(cond, F.col("event_id")),
+            )
+            names += [f"n_{fname}", fname]
+        return ev.agg(*cols).select(
+            *[
+                F.col(n).alias(n)
+                if n.startswith("n_")
+                else F.col(f"{n}::min").cast("long").alias(f"min_{n}")
+                for n in names
+            ]
+        )
+
+    q["agg_filters"] = agg_filters
+
     def dup_substring_spans(spark, sf_dir):
         from quickwit_spark.functions.substring_dedup import duplicate_spans
 
@@ -2125,6 +2165,24 @@ SELECT d.doc_id, coalesce(p.n_lines, 0) AS n_lines,
        length(coalesce(p.new_text, '')) AS new_text_len,
        md5(coalesce(p.new_text, '')) AS new_text_md5
 FROM documents d LEFT JOIN per_doc p ON d.doc_id = p.doc_id
+"""
+
+    # filters agg: overlapping conditional counts + masked mins in one
+    # pass; range predicate is half-open with an isNotNull guard.
+    o["agg_filters"] = """
+SELECT count(CASE WHEN event_type = 'click' THEN 1 END) AS n_clicks,
+       CAST(min(CASE WHEN event_type = 'click' THEN event_id END)
+            AS BIGINT) AS min_clicks,
+       count(CASE WHEN event_type = 'view' THEN 1 END) AS n_views,
+       CAST(min(CASE WHEN event_type = 'view' THEN event_id END)
+            AS BIGINT) AS min_views,
+       count(CASE WHEN value IS NOT NULL AND value >= 50.0 THEN 1 END)
+         AS n_big,
+       CAST(min(CASE WHEN value IS NOT NULL AND value >= 50.0
+                     THEN event_id END) AS BIGINT) AS min_big,
+       count(*) AS n_all,
+       CAST(min(event_id) AS BIGINT) AS min_all
+FROM events
 """
 
     # Hash-feature classifier: per-token md5-keyed integer weights in

@@ -49,11 +49,15 @@ _METRIC_AGGS = (
 _DEFAULT_PERCENTS = (1.0, 5.0, 25.0, 50.0, 75.0, 95.0, 99.0)
 
 
-def _metric_cols(name: str, spec: dict) -> list:
+def _metric_cols(name: str, spec: dict, col=None) -> list:
+    """Aggregate Columns for one metric spec. ``col`` overrides the
+    input column (the ``filters`` agg masks it with a predicate so a
+    filter bucket's sub-metrics ride the same shared pass)."""
     (kind, body), = spec.items()
     if kind not in _METRIC_AGGS:
         raise ValueError(f"unsupported metric aggregation {kind!r}")
-    col = F.col(body["field"])
+    if col is None:
+        col = F.col(body["field"])
     if kind == "avg":
         return [F.avg(col).alias(f"{name}::avg")]
     if kind == "min":
@@ -258,6 +262,34 @@ def date_histogram_buckets(
     )
 
 
+def _filter_cond(body: dict):
+    """Predicate Column for one named ``filters`` entry. Supported
+    (the subset the engine's fast fields express): ``term``, ``range``
+    (half-open [from, to) like the range agg), ``exists``,
+    ``match_all``."""
+    (kind, spec), = body.items()
+    if kind == "term":
+        return F.col(spec["field"]) == F.lit(spec["value"])
+    if kind == "range":
+        col = F.col(spec["field"])
+        cond = col.isNotNull()
+        if spec.get("from") is not None:
+            cond = cond & (col >= F.lit(spec["from"]))
+        if spec.get("to") is not None:
+            cond = cond & (col < F.lit(spec["to"]))
+        return cond
+    if kind == "exists":
+        return F.col(spec["field"]).isNotNull()
+    if kind == "match_all":
+        return F.lit(True)
+    raise ValueError(f"unsupported filters predicate {kind!r}")
+
+
+def _filter_fields(body: dict) -> list:
+    (kind, spec), = body.items()
+    return [spec["field"]] if kind != "match_all" else []
+
+
 def _bucket_expr(spec: dict):
     """The grouping-key Column for a bucket agg spec, or None for a
     metric-only spec. NULL key == "doc contributes to no bucket"
@@ -329,6 +361,9 @@ def run_aggregations(
         for kind, body in spec.items():
             if kind in ("range", "histogram", "date_histogram", "terms"):
                 needed.add(body["field"])
+            elif kind == "filters":
+                for fbody in body["filters"].values():
+                    needed.update(_filter_fields(fbody))
             elif kind in _METRIC_AGGS:
                 needed.add(body["field"])
             elif kind == "aggs":
@@ -349,6 +384,24 @@ def run_aggregations(
     need_global = False
     docs2 = docs
     for i, (name, spec) in enumerate(specs):
+        if "filters" in spec:
+            # docs may match SEVERAL named filters, so these are not
+            # grouping keys: each bucket is a conditional count (plus
+            # predicate-masked sub-metrics) in the shared global pass
+            for fname, fbody in spec["filters"]["filters"].items():
+                cond = _filter_cond(fbody)
+                agg_cols.append(
+                    F.count(F.when(cond, F.lit(1)))
+                    .alias(f"{i}|{fname}::fcount")
+                )
+                for sname, sspec in spec.get("aggs", {}).items():
+                    (_, sbody), = sspec.items()
+                    masked = F.when(cond, F.col(sbody["field"]))
+                    agg_cols += _metric_cols(
+                        f"{i}|{fname}|{sname}", sspec, col=masked
+                    )
+            need_global = True
+            continue
         for sname, sspec in spec.get("aggs", {}).items():
             agg_cols += _metric_cols(f"{i}|{sname}", sspec)
         bexpr = _bucket_expr(spec)
@@ -366,12 +419,34 @@ def run_aggregations(
             )
             need_global = True
 
+    def _filters_result(i: int, spec: dict, row) -> dict:
+        """ES keyed-filters response: named buckets of doc_count +
+        sub-metrics, all read from the shared global row."""
+        buckets = {}
+        for fname in spec["filters"]["filters"]:
+            if row is not None:
+                b = {"doc_count": int(row[f"{i}|{fname}::fcount"])}
+                for sname, sspec in spec.get("aggs", {}).items():
+                    b[sname] = _metric_result(
+                        f"{i}|{fname}|{sname}", sspec, row
+                    )
+            else:
+                b = {"doc_count": 0}
+                for sname in spec.get("aggs", {}):
+                    b[sname] = {"value": None}
+            buckets[fname] = b
+        return {"buckets": buckets}
+
     bcols = [f"__b{i}" for i in bucket_idx]
     if not bcols:
         # metric-only request: plain global aggregate (one job already)
         row = docs2.agg(*agg_cols).collect()[0]
         return {
-            name: _metric_result(f"{i}|{name}", spec, row)
+            name: (
+                _filters_result(i, spec, row)
+                if "filters" in spec
+                else _metric_result(f"{i}|{name}", spec, row)
+            )
             for i, (name, spec) in enumerate(specs)
         }
 
@@ -431,7 +506,9 @@ def run_aggregations(
     out: dict = {}
     for i, (name, spec) in enumerate(specs):
         sub_aggs = spec.get("aggs", {})
-        if "range" in spec:
+        if "filters" in spec:
+            out[name] = _filters_result(i, spec, grow)
+        elif "range" in spec:
             rows = {r[f"__b{i}"]: r for r in by_gid.get(gid_of[i], [])}
             buckets = []
             for rng in spec["range"]["ranges"]:

@@ -229,6 +229,16 @@ def test_multi_agg_single_pass(spark, built_index, oracle_index):
             "aggs": {"avg_len": {"avg": {"field": "len_text"}}},
         },
         "overall": {"stats": {"field": "len_text"}},
+        "kinds": {
+            "filters": {
+                "filters": {
+                    "all": {"match_all": {}},
+                    "short": {"range": {"field": "len_text", "to": 120}},
+                    "has_lang": {"exists": {"field": "lang"}},
+                }
+            },
+            "aggs": {"avg_len": {"avg": {"field": "len_text"}}},
+        },
     }
     with mock.patch.object(DataFrame, "collect", counting_collect), \
          mock.patch.object(DataFrame, "count", counting_count):
@@ -251,6 +261,13 @@ def test_multi_agg_single_pass(spark, built_index, oracle_index):
     for b in res["lens"]["buckets"]:
         if b["doc_count"]:
             assert b["avg_len"]["value"] is not None
+    # filters: overlapping named predicates in the SAME single action
+    kb = res["kinds"]["buckets"]
+    assert kb["all"]["doc_count"] == total
+    assert kb["has_lang"]["doc_count"] == total  # lang always present
+    assert 0 < kb["short"]["doc_count"] <= total
+    assert kb["all"]["avg_len"]["value"] == res["overall"]["avg"]
+    assert kb["short"]["avg_len"]["value"] <= kb["all"]["avg_len"]["value"]
 
 
 def test_histogram_ignores_null_field_docs(spark, tmp_path):
