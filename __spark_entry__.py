@@ -1129,6 +1129,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["agg_filters"] = agg_filters
 
+    def split_by_domain(spark, sf_dir):
+        """Leakage-safe train/test/val assignment keyed on the doc's
+        domain (source col): same domain → same split, exact 60-bit
+        md5 bands mirrored in SQL."""
+        from quickwit_spark.functions.sampling import assign_splits
+
+        d = _docs(spark, sf_dir).select("doc_id", "source")
+        return assign_splits(
+            d, "source", {"test": 0.1, "val": 0.05}, seed="split"
+        )
+
+    q["split_by_domain"] = split_by_domain
+
     def dup_substring_spans(spark, sf_dir):
         from quickwit_spark.functions.substring_dedup import duplicate_spans
 
@@ -2165,6 +2178,18 @@ SELECT d.doc_id, coalesce(p.n_lines, 0) AS n_lines,
        length(coalesce(p.new_text, '')) AS new_text_len,
        md5(coalesce(p.new_text, '')) AS new_text_md5
 FROM documents d LEFT JOIN per_doc p ON d.doc_id = p.doc_id
+"""
+
+    # domain-keyed split assignment: exact 60-bit md5 bands; literals
+    # are floor(0.1*2^60) and floor(0.15*2^60) as assign_splits emits.
+    o["split_by_domain"] = """
+SELECT doc_id, source,
+       CASE WHEN CAST(('0x' || substr(md5('split|' || source), 1, 15))
+                 AS BIGINT) < 115292150460684704 THEN 'test'
+            WHEN CAST(('0x' || substr(md5('split|' || source), 1, 15))
+                 AS BIGINT) < 172938225691027072 THEN 'val'
+            ELSE 'train' END AS split
+FROM documents
 """
 
     # filters agg: overlapping conditional counts + masked mins in one

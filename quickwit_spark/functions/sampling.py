@@ -173,3 +173,35 @@ def token_budget_sample(
     return stratified_sample(
         df, stratum_col, rates, key_col, seed=seed, default_rate=0.0
     )
+
+
+def assign_splits(
+    df: DataFrame,
+    key_col: str,
+    rates: dict[str, float],
+    seed: str = "split",
+) -> DataFrame:
+    """Leakage-safe train/test(/val) assignment: every row whose
+    ``key_col`` is equal lands in the SAME split (hash the grouping
+    key — a domain, a URL, a document cluster id — so correlated docs
+    can never straddle the train/eval boundary).
+
+    ``rates`` maps split name → fraction (e.g. ``{"test": 0.1,
+    "val": 0.05}``); the remainder is ``"train"``. Bands are integer
+    thresholds ``floor(cum_rate · 2^60)`` over the 60-bit md5 draw, so
+    the assignment is exact, deterministic, and reproducible in SQL.
+
+    Pure map — no shuffle; assigning 10^12 rows costs one scan.
+    """
+    import math
+
+    h = sample_hash_col(F.col(key_col), seed)
+    split = None
+    cum = 0.0
+    for name, rate in rates.items():
+        cum += rate
+        bound = F.lit(math.floor(cum * _SCALE)).cast("long")
+        cond = h < bound
+        split = F.when(cond, name) if split is None else split.when(cond, name)
+    split = split.otherwise("train") if split is not None else F.lit("train")
+    return df.withColumn("split", split)

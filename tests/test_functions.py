@@ -1050,3 +1050,34 @@ def test_pack_sequences_two_level_bucket_search(spark):
         for r in pack_sequences(df, capacity=10, num_buckets=700).collect()
     )
     assert got == _brute_pack(docs, 10)
+
+
+def test_assign_splits_leakage_safe(spark):
+    """Same key -> same split, always; bands are deterministic; the
+    operator is a pure map (no exchange)."""
+    import pyspark.sql.functions as F
+
+    from quickwit_spark.functions.sampling import assign_splits
+
+    rows = [(i, f"domain{i % 40}.example") for i in range(400)]
+    df = spark.createDataFrame(rows, "doc_id long, domain string")
+    out = assign_splits(df, "domain", {"test": 0.25, "val": 0.25})
+    # leakage check: one distinct split per domain
+    per_key = out.groupBy("domain").agg(
+        F.countDistinct("split").alias("n")
+    )
+    assert per_key.filter("n != 1").count() == 0
+    # all three bands hit at these rates over 40 domains
+    got = {r["split"] for r in out.select("split").distinct().collect()}
+    assert got == {"train", "test", "val"}
+    # deterministic across invocations
+    a = sorted(map(tuple, out.collect()))
+    b = sorted(map(tuple, assign_splits(
+        df, "domain", {"test": 0.25, "val": 0.25}).collect()))
+    assert a == b
+    # different seed reshuffles membership
+    c = sorted(map(tuple, assign_splits(
+        df, "domain", {"test": 0.25, "val": 0.25}, seed="other").collect()))
+    assert a != c
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan

@@ -65,6 +65,58 @@ def test_badwords_and_knobs(spark):
     assert got[1]["kept"] == 1 and got[1]["n_kept"] == 2
 
 
+def test_clean_is_idempotent(spark):
+    """clean(clean_text) is a fixpoint: kept pages keep every line and
+    stay kept; dropped pages ('' text) stay dropped — over real docs
+    reshaped with the same marker injection as the gate entry."""
+    import pyspark.sql.functions as F
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    toks = F.filter(F.split(F.col("text"), r"\s+"), lambda t: t != "")
+    lines = F.transform(
+        F.sequence(
+            F.lit(0),
+            F.greatest(F.lit(0), F.floor((F.size(toks) - 1) / 10).cast("int")),
+        ),
+        lambda i: F.concat(
+            F.array_join(F.slice(toks, i * 10 + 1, 10), " "),
+            F.when((F.col("doc_id") + i) % 5 == 0, F.lit("")).otherwise(
+                F.when((F.col("doc_id") + i) % 5 == 3, F.lit(" javascript."))
+                .otherwise(F.lit("."))
+            ),
+        ),
+    )
+    d = docs.select("doc_id", F.array_join(lines, "\n").alias("text"))
+    first = c4_clean(d).select(
+        "doc_id", F.col("clean_text").alias("text"), "kept", "n_kept"
+    )
+    second = c4_clean(first.select("doc_id", "text"))
+    joined = first.select(
+        "doc_id",
+        F.col("kept").alias("k1"),
+        F.col("n_kept").alias("n1"),
+        F.col("text").alias("t1"),
+    ).join(
+        second.select(
+            "doc_id",
+            F.col("kept").alias("k2"),
+            F.col("n_kept").alias("n2"),
+            F.col("clean_text").alias("t2"),
+        ),
+        "doc_id",
+    )
+    assert joined.count() > 0
+    bad = joined.filter(
+        ((F.col("k1") == 1) & ((F.col("k2") != 1) | (F.col("t1") != F.col("t2"))
+                               | (F.col("n1") != F.col("n2"))))
+        | ((F.col("k1") == 0) & (F.col("k2") != 0))
+    )
+    assert bad.count() == 0
+    # non-trivial on both sides
+    assert first.filter("kept = 1").count() > 0
+    assert first.filter("kept = 0").count() > 0
+
+
 def test_pure_map_no_shuffle(spark):
     """The 100 TB contract: the cleaner is one shuffle-free project."""
     df = spark.createDataFrame([(1, GOOD)], "doc_id long, text string")
