@@ -1142,6 +1142,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["split_by_domain"] = split_by_domain
 
+    def agg_histogram_filled(spark, sf_dir):
+        """ES/tantivy default histogram semantics end-to-end through
+        run_aggregations: min_doc_count=0 gap-fills every empty bucket
+        between the first and last observed — the oracle builds the
+        same grid with generate_series."""
+        from quickwit_spark.operators.aggregations import run_aggregations
+        from quickwit_spark.operators.search import SearchRequest
+
+        idx = _docs_index(spark, sf_dir)
+        out = run_aggregations(
+            spark,
+            idx,
+            SearchRequest(query="table"),
+            {"h": {"histogram": {"field": "n_chars", "interval": 2}}},
+        )
+        rows = [
+            (int(b["key"]), int(b["doc_count"]))
+            for b in out["h"]["buckets"]
+        ]
+        return spark.createDataFrame(rows, "bucket long, doc_count long")
+
+    q["agg_histogram_filled"] = agg_histogram_filled
+
     def dup_substring_spans(spark, sf_dir):
         from quickwit_spark.functions.substring_dedup import duplicate_spans
 
@@ -2178,6 +2201,26 @@ SELECT d.doc_id, coalesce(p.n_lines, 0) AS n_lines,
        length(coalesce(p.new_text, '')) AS new_text_len,
        md5(coalesce(p.new_text, '')) AS new_text_md5
 FROM documents d LEFT JOIN per_doc p ON d.doc_id = p.doc_id
+"""
+
+    # gap-filled histogram (ES min_doc_count=0 default): the oracle
+    # rebuilds the [first, last] grid with generate_series + zero-fill.
+    o["agg_histogram_filled"] = _with(_TOKS_CTE) + """
+, m AS (
+  SELECT CAST(floor(n_chars / 2.0) AS BIGINT) AS b
+  FROM documents
+  WHERE doc_id IN (SELECT doc_id FROM toks WHERE term = 'table')
+), agg AS (
+  SELECT b, count(*) AS c FROM m GROUP BY b
+), bounds AS (
+  SELECT min(b) AS lo, max(b) AS hi FROM agg
+), grid AS (
+  SELECT lo + i.i AS b
+  FROM bounds, UNNEST(generate_series(0, hi - lo)) AS i(i)
+)
+SELECT CAST(g.b * 2 AS BIGINT) AS bucket,
+       CAST(coalesce(a.c, 0) AS BIGINT) AS doc_count
+FROM grid g LEFT JOIN agg a ON a.b = g.b
 """
 
     # domain-keyed split assignment: exact 60-bit md5 bands; literals

@@ -543,33 +543,89 @@ def run_aggregations(
                 "doc_count_error_upper_bound": 0,
             }
         elif "histogram" in spec:
+            body = spec["histogram"]
+            interval = float(body["interval"])
+            # ES/tantivy semantics: min_doc_count defaults to 0 and the
+            # bucket range [first, last] is GAP-FILLED with empty
+            # buckets; extended_bounds widens that range (grid-aligned),
+            # hard_bounds clips observed buckets.
+            mdc = int(body.get("min_doc_count", 0))
+            hard = body.get("hard_bounds")
+            rows = {}
+            for r in by_gid.get(gid_of[i], []):
+                k = float(r[f"__b{i}"])
+                if hard is not None and not (
+                    float(hard["min"]) <= k < float(hard["max"])
+                ):
+                    continue
+                rows[round(k / interval)] = r
+            keys = sorted(rows)
+            if body.get("extended_bounds") is not None:
+                eb = body["extended_bounds"]
+                import math as _math
+
+                keys_ext = [
+                    int(_math.floor(float(eb["min"]) / interval)),
+                    int(_math.floor(float(eb["max"]) / interval)),
+                ]
+                keys = sorted(set(keys) | set(keys_ext))
             buckets = []
-            for r in sorted(
-                by_gid.get(gid_of[i], []), key=lambda r: float(r[f"__b{i}"])
-            ):
-                b = {"key": float(r[f"__b{i}"]),
-                     "doc_count": int(r["doc_count"])}
-                for sname, sspec in sub_aggs.items():
-                    b[sname] = _metric_result(f"{i}|{sname}", sspec, r)
-                buckets.append(b)
+            if keys:
+                lo, hi = keys[0], keys[-1]
+                idx_range = (
+                    range(lo, hi + 1) if mdc == 0 else sorted(rows)
+                )
+                for ki in idx_range:
+                    r = rows.get(ki)
+                    dc = int(r["doc_count"]) if r is not None else 0
+                    if dc < mdc:
+                        continue
+                    b = {"key": ki * interval, "doc_count": dc}
+                    for sname, sspec in sub_aggs.items():
+                        b[sname] = (
+                            _metric_result(f"{i}|{sname}", sspec, r)
+                            if r is not None else {"value": None}
+                        )
+                    buckets.append(b)
             out[name] = {"buckets": buckets}
         elif "date_histogram" in spec:
             from datetime import datetime, timezone
 
+            body = spec["date_histogram"]
+            step = _parse_fixed_interval(body["fixed_interval"])
+            # same ES/tantivy gap-fill semantics as histogram, in µs
+            mdc = int(body.get("min_doc_count", 0))
+            rows = {
+                int(r[f"__b{i}"]) // step: r
+                for r in by_gid.get(gid_of[i], [])
+            }
+            keys = sorted(rows)
             buckets = []
-            for r in sorted(
-                by_gid.get(gid_of[i], []), key=lambda r: int(r[f"__b{i}"])
-            ):
-                us = int(r[f"__b{i}"])
-                iso = datetime.fromtimestamp(
-                    us / 1_000_000, tz=timezone.utc
-                ).strftime("%Y-%m-%dT%H:%M:%S") + f".{(us // 1000) % 1000:03d}Z"
-                # ES date_histogram keys: epoch millis + key_as_string
-                b = {"key": us // 1000, "key_as_string": iso,
-                     "doc_count": int(r["doc_count"])}
-                for sname, sspec in sub_aggs.items():
-                    b[sname] = _metric_result(f"{i}|{sname}", sspec, r)
-                buckets.append(b)
+            if keys:
+                idx_range = (
+                    range(keys[0], keys[-1] + 1) if mdc == 0
+                    else keys
+                )
+                for ki in idx_range:
+                    r = rows.get(ki)
+                    dc = int(r["doc_count"]) if r is not None else 0
+                    if dc < mdc:
+                        continue
+                    us = ki * step
+                    iso = datetime.fromtimestamp(
+                        us / 1_000_000, tz=timezone.utc
+                    ).strftime("%Y-%m-%dT%H:%M:%S") + (
+                        f".{(us // 1000) % 1000:03d}Z"
+                    )
+                    # ES date_histogram keys: epoch millis + string
+                    b = {"key": us // 1000, "key_as_string": iso,
+                         "doc_count": dc}
+                    for sname, sspec in sub_aggs.items():
+                        b[sname] = (
+                            _metric_result(f"{i}|{sname}", sspec, r)
+                            if r is not None else {"value": None}
+                        )
+                    buckets.append(b)
             out[name] = {"buckets": buckets}
         else:
             if grow is not None:

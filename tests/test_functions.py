@@ -1081,3 +1081,63 @@ def test_assign_splits_leakage_safe(spark):
     assert a != c
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_histogram_gap_fill_and_bounds(spark, tmp_path):
+    """ES/tantivy histogram semantics: min_doc_count defaults to 0 and
+    the [first, last] bucket range is gap-filled with empty buckets;
+    extended_bounds widens the grid; min_doc_count >= 1 filters with
+    no filling; hard_bounds clips."""
+    import numpy as np
+
+    from quickwit_spark.operators.aggregations import run_aggregations
+    from quickwit_spark.operators.build import build_index
+    from quickwit_spark.operators.search import SearchRequest
+    from quickwit_spark.plans.config import webpages_config
+    from quickwit_spark.sources.corpus import gen_batch
+
+    pdf = gen_batch(np.arange(20), seed=4)
+    # sparse field: two clusters with a hole at bucket 100
+    pdf["sparse"] = [
+        float(50 + i) if i < 10 else float(250 + i) for i in range(20)
+    ]
+    idx = str(tmp_path / "idx")
+    build_index(
+        spark, spark.createDataFrame(pdf), idx,
+        webpages_config(fast_fields=("warc_ts", "lang", "sparse")),
+        num_splits=2,
+    )
+
+    def hist(body):
+        return run_aggregations(
+            spark, idx, SearchRequest(query="the"), {"h": body}
+        )["h"]["buckets"]
+
+    filled = hist({"histogram": {"field": "sparse", "interval": 100}})
+    keys = [b["key"] for b in filled]
+    assert keys == [0.0, 100.0, 200.0]           # hole filled
+    counts = {b["key"]: b["doc_count"] for b in filled}
+    assert counts[100.0] == 0 and counts[0.0] > 0 and counts[200.0] > 0
+
+    nofill = hist({"histogram": {"field": "sparse", "interval": 100,
+                                 "min_doc_count": 1}})
+    assert [b["key"] for b in nofill] == [0.0, 200.0]
+
+    ext = hist({"histogram": {"field": "sparse", "interval": 100,
+                              "extended_bounds": {"min": -100, "max": 400}}})
+    assert [b["key"] for b in ext] == [-100.0, 0.0, 100.0, 200.0,
+                                       300.0, 400.0]
+    assert ext[0]["doc_count"] == 0 and ext[-1]["doc_count"] == 0
+
+    hard = hist({"histogram": {"field": "sparse", "interval": 100,
+                               "hard_bounds": {"min": 0, "max": 200}}})
+    assert [b["key"] for b in hard] == [0.0]     # 200-bucket clipped
+
+    # sub-metrics on filled buckets come back null-shaped
+    sub = run_aggregations(
+        spark, idx, SearchRequest(query="the"),
+        {"h": {"histogram": {"field": "sparse", "interval": 100},
+               "aggs": {"m": {"avg": {"field": "sparse"}}}}},
+    )["h"]["buckets"]
+    assert sub[1]["m"] == {"value": None}
+    assert sub[0]["m"]["value"] is not None
