@@ -311,7 +311,12 @@ def _bucket_expr(spec: dict):
         return bucket
     if "histogram" in spec:
         body = spec["histogram"]
-        col = F.col(body["field"]).cast("double")
+        col = F.col(body["field"])
+        if "missing" in body:
+            # ES `missing` param: substitute for absent values so those
+            # docs land in a real bucket instead of being dropped
+            col = F.coalesce(col, F.lit(body["missing"]))
+        col = col.cast("double")
         interval = float(body["interval"])
         # null field -> null bucket -> dropped (ES semantics; the
         # range/terms branches already ignore missing-field docs)
@@ -323,7 +328,11 @@ def _bucket_expr(spec: dict):
             body["field"], _parse_fixed_interval(body["fixed_interval"])
         )
     if "terms" in spec:
-        return F.col(spec["terms"]["field"])
+        body = spec["terms"]
+        col = F.col(body["field"])
+        if "missing" in body:
+            col = F.coalesce(col, F.lit(body["missing"]))
+        return col
     return None
 
 
@@ -413,9 +422,14 @@ def run_aggregations(
             need_global = True
         if "terms" in spec:
             # docs WITH the field (in or out of the top buckets) feed
-            # sum_other_doc_count — a global count(field), same pass
+            # sum_other_doc_count — a global count(field), same pass;
+            # with `missing` set EVERY doc has a bucket, so count(*)
             agg_cols.append(
-                F.count(F.col(spec["terms"]["field"])).alias(f"__total{i}")
+                (
+                    F.count(F.lit(1))
+                    if "missing" in spec["terms"]
+                    else F.count(F.col(spec["terms"]["field"]))
+                ).alias(f"__total{i}")
             )
             need_global = True
 

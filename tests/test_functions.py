@@ -1141,3 +1141,46 @@ def test_histogram_gap_fill_and_bounds(spark, tmp_path):
     )["h"]["buckets"]
     assert sub[1]["m"] == {"value": None}
     assert sub[0]["m"]["value"] is not None
+
+
+def test_terms_histogram_missing_param(spark, tmp_path):
+    """ES `missing` parameter: docs with an absent field land in the
+    substitute bucket for terms and histogram instead of vanishing."""
+    import numpy as np
+
+    from quickwit_spark.operators.aggregations import run_aggregations
+    from quickwit_spark.operators.build import build_index
+    from quickwit_spark.operators.search import SearchRequest
+    from quickwit_spark.plans.config import webpages_config
+    from quickwit_spark.sources.corpus import gen_batch
+
+    pdf = gen_batch(np.arange(30), seed=6)
+    pdf["maybe_val"] = [
+        None if i % 3 == 0 else float(100 + i) for i in range(30)
+    ]
+    idx = str(tmp_path / "idx")
+    build_index(
+        spark, spark.createDataFrame(pdf), idx,
+        webpages_config(fast_fields=("warc_ts", "lang", "maybe_val")),
+        num_splits=2,
+    )
+    res = run_aggregations(
+        spark, idx, SearchRequest(query="the"),
+        {
+            "t": {"terms": {"field": "maybe_val", "size": 50,
+                            "missing": -1.0}},
+            "h": {"histogram": {"field": "maybe_val", "interval": 50,
+                                "missing": -50.0, "min_doc_count": 1}},
+            "n_all": {"value_count": {"field": "warc_ts"}},
+            "n_val": {"value_count": {"field": "maybe_val"}},
+        },
+    )
+    n_all, n_val = res["n_all"]["value"], res["n_val"]["value"]
+    n_missing = n_all - n_val
+    assert n_missing > 0
+    tbuckets = {b["key"]: b["doc_count"] for b in res["t"]["buckets"]}
+    assert tbuckets.get(-1.0) == n_missing
+    assert sum(tbuckets.values()) + res["t"]["sum_other_doc_count"] == n_all
+    hbuckets = {b["key"]: b["doc_count"] for b in res["h"]["buckets"]}
+    assert hbuckets.get(-50.0) == n_missing
+    assert sum(hbuckets.values()) == n_all
