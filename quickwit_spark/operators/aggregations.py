@@ -493,19 +493,39 @@ def run_aggregations(
     }
     if terms_sizes:
         # top-N per terms set without a second job: rank inside each
-        # grouping set (other __b cols are constant NULL within a set,
-        # so one shared ORDER BY works for every set)
-        w = Window.partitionBy("__gid").orderBy(
-            F.col("doc_count").desc(), *[F.col(c).asc() for c in bcols]
-        )
-        result = result.withColumn("__rk", F.row_number().over(w))
+        # grouping set. Each spec gets its own rank column so the ES
+        # `order` knob (_count / _key / a sub-metric name) works per
+        # spec; extra windows share the __gid partitioning, so this
+        # adds per-partition sorts but never another exchange.
+        for i, sz in terms_sizes.items():
+            body = specs[i][1]["terms"]
+            (okey, odir), = body.get("order", {"_count": "desc"}).items()
+            if okey == "_count":
+                ocol = F.col("doc_count")
+            elif okey == "_key":
+                ocol = F.col(f"__b{i}")
+            else:
+                sspec = specs[i][1].get("aggs", {}).get(okey)
+                if sspec is None:
+                    raise ValueError(
+                        f"terms order references unknown sub-agg {okey!r}"
+                    )
+                (skind, _), = sspec.items()
+                ocol = F.col(f"{i}|{okey}::{skind}")
+            ocol = ocol.desc() if odir == "desc" else ocol.asc()
+            w = Window.partitionBy("__gid").orderBy(
+                ocol, F.col(f"__b{i}").asc()
+            )
+            result = result.withColumn(
+                f"__rk{i}", F.row_number().over(w)
+            )
         non_terms = ~F.col("__gid").isin(
             [gid_of[i] for i in terms_sizes]
         )
         result = result.filter(functools.reduce(
             _op.or_,
             [
-                (F.col("__gid") == gid_of[i]) & (F.col("__rk") <= sz)
+                (F.col("__gid") == gid_of[i]) & (F.col(f"__rk{i}") <= sz)
                 for i, sz in terms_sizes.items()
             ],
             non_terms,
@@ -542,7 +562,9 @@ def run_aggregations(
                 buckets.append(b)
             out[name] = {"buckets": buckets}
         elif "terms" in spec:
-            top = sorted(by_gid.get(gid_of[i], []), key=lambda r: r["__rk"])
+            top = sorted(
+                by_gid.get(gid_of[i], []), key=lambda r: r[f"__rk{i}"]
+            )
             buckets, in_top = [], 0
             for r in top:
                 b = {"key": r[f"__b{i}"], "doc_count": int(r["doc_count"])}

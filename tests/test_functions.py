@@ -1184,3 +1184,34 @@ def test_terms_histogram_missing_param(spark, tmp_path):
     hbuckets = {b["key"]: b["doc_count"] for b in res["h"]["buckets"]}
     assert hbuckets.get(-50.0) == n_missing
     assert sum(hbuckets.values()) == n_all
+
+
+def test_terms_order_knob(spark, built_index):
+    """ES terms `order`: by _key, by _count (default), and by a
+    sub-metric — two differently-ordered terms aggs in ONE request."""
+    from quickwit_spark.operators.aggregations import run_aggregations
+    from quickwit_spark.operators.search import SearchRequest
+
+    res = run_aggregations(
+        spark, built_index, SearchRequest(query="the"),
+        {
+            "by_key": {"terms": {"field": "lang", "size": 10,
+                                 "order": {"_key": "asc"}}},
+            "by_len": {
+                "terms": {"field": "lang", "size": 10,
+                          "order": {"avg_len": "desc"}},
+                "aggs": {"avg_len": {"avg": {"field": "len_text"}}},
+            },
+            "default": {"terms": {"field": "lang", "size": 10}},
+        },
+    )
+    keys = [b["key"] for b in res["by_key"]["buckets"]]
+    assert keys == sorted(keys)
+    avgs = [b["avg_len"]["value"] for b in res["by_len"]["buckets"]]
+    assert avgs == sorted(avgs, reverse=True)
+    counts = [b["doc_count"] for b in res["default"]["buckets"]]
+    assert counts == sorted(counts, reverse=True)
+    # same buckets, different orders
+    assert {b["key"] for b in res["by_key"]["buckets"]} == {
+        b["key"] for b in res["default"]["buckets"]
+    }
