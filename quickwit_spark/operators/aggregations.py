@@ -560,7 +560,13 @@ def run_aggregations(
                         if r else {"value": None}
                     )
                 buckets.append(b)
-            out[name] = {"buckets": buckets}
+            if spec["range"].get("keyed"):
+                # ES keyed form: buckets as an object, "key" folded out
+                out[name] = {"buckets": {
+                    b.pop("key"): b for b in buckets
+                }}
+            else:
+                out[name] = {"buckets": buckets}
         elif "terms" in spec:
             top = sorted(
                 by_gid.get(gid_of[i], []), key=lambda r: r[f"__rk{i}"]
@@ -623,7 +629,13 @@ def run_aggregations(
                             if r is not None else {"value": None}
                         )
                     buckets.append(b)
-            out[name] = {"buckets": buckets}
+            if body.get("keyed"):
+                # ES keyed form: "150.0"-style string keys
+                out[name] = {"buckets": {
+                    str(b.pop("key")): b for b in buckets
+                }}
+            else:
+                out[name] = {"buckets": buckets}
         elif "date_histogram" in spec:
             from datetime import datetime, timezone
 

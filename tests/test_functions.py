@@ -1215,3 +1215,32 @@ def test_terms_order_knob(spark, built_index):
     assert {b["key"] for b in res["by_key"]["buckets"]} == {
         b["key"] for b in res["default"]["buckets"]
     }
+
+
+def test_keyed_response_form(spark, built_index):
+    """ES `keyed: true` on range/histogram returns buckets as an
+    object keyed by bucket key instead of an array."""
+    from quickwit_spark.operators.aggregations import run_aggregations
+    from quickwit_spark.operators.search import SearchRequest
+
+    res = run_aggregations(
+        spark, built_index, SearchRequest(query="the"),
+        {
+            "r": {"range": {"field": "len_text", "keyed": True,
+                            "ranges": [{"to": 100},
+                                       {"from": 100, "to": 200},
+                                       {"from": 200}]}},
+            "h": {"histogram": {"field": "len_text", "interval": 100,
+                                "keyed": True}},
+            "plain": {"range": {"field": "len_text",
+                                "ranges": [{"to": 100}, {"from": 100}]}},
+        },
+    )
+    rb = res["r"]["buckets"]
+    assert isinstance(rb, dict)
+    assert set(rb) == {"*-100", "100-200", "200-*"}
+    assert all("key" not in v and "doc_count" in v for v in rb.values())
+    hb = res["h"]["buckets"]
+    assert isinstance(hb, dict)
+    assert all(isinstance(k, str) for k in hb)
+    assert isinstance(res["plain"]["buckets"], list)
