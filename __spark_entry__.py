@@ -786,6 +786,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["multimodal_frame_sample"] = mm_frames
 
+    def mm_resize(spark, sf_dir):
+        """Image-resize plumbing (mapInPandas, deterministic fake
+        buffers of the exact target byte size) — payload bytes pinned
+        via md5 against a repeat(md5(text), k) oracle."""
+        from quickwit_spark.functions.multimodal import resize_images
+
+        d = _docs(spark, sf_dir).filter(F.col("doc_id") < 50)
+        payloads = d.select(
+            F.col("doc_id").cast("string").alias("key"),
+            F.encode(F.col("text"), "utf-8").alias("payload"),
+        )
+        out = resize_images(payloads, width=8, height=4)
+        return out.select(
+            F.col("key").cast("long").alias("doc_id"),
+            F.col("width").cast("long").alias("width"),
+            F.col("height").cast("long").alias("height"),
+            F.octet_length("payload").cast("long").alias("n_bytes"),
+            F.md5(F.col("payload")).alias("payload_md5"),
+        )
+
+    q["multimodal_resize"] = mm_resize
+
     # ---- web-corpus curation (round 4): URL/line/substring dedup,
     # ---- domain stats, LM quality, terms aggregation ----
     def url_dedup(spark, sf_dir):
@@ -2085,6 +2107,16 @@ SELECT doc_id, lang, n_chars FROM (
 SELECT doc_id,
        64 + CAST(('0x' || substr(md5(text), 17, 2)) AS BIGINT) % 64 AS width,
        64 + CAST(('0x' || substr(md5(text), 19, 2)) AS BIGINT) % 64 AS height
+FROM documents WHERE doc_id < 50
+"""
+
+    # resize plumbing: fake buffer = md5 hex tiled to 8*4*3 = 96 bytes
+    o["multimodal_resize"] = """
+SELECT doc_id,
+       CAST(8 AS BIGINT) AS width,
+       CAST(4 AS BIGINT) AS height,
+       CAST(96 AS BIGINT) AS n_bytes,
+       md5(substr(repeat(md5(text), 3), 1, 96)) AS payload_md5
 FROM documents WHERE doc_id < 50
 """
 

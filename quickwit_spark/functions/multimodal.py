@@ -101,6 +101,57 @@ def decode_features(
     return df.select(key_col, payload_col).mapInPandas(run, FEATURE_SCHEMA)
 
 
+RESIZED_SCHEMA = "key string, width int, height int, payload binary"
+
+
+def _fake_resize(payload: bytes, width: int, height: int) -> bytes:
+    """Deterministic stand-in for a real resample: tile the payload's
+    md5 hex digest to exactly ``width*height*3`` bytes (one RGB pixel
+    buffer), so the output is byte-reproducible by a SQL oracle
+    (``repeat(md5(x), k)`` truncated)."""
+    hexd = hashlib.md5(payload).hexdigest()
+    n = width * height * 3
+    return (hexd * (n // len(hexd) + 1))[:n].encode()
+
+
+def resize_images(
+    df: DataFrame,
+    width: int = 64,
+    height: int = 64,
+    key_col: str = "key",
+    payload_col: str = "payload",
+    decode: str = "fake",
+) -> DataFrame:
+    """Distributed image resize over binary payloads: ``mapInPandas``
+    batches, one fixed-size output buffer per row. ``decode="real"``
+    is the PIL/torchvision seam (NotImplementedError in this runtime);
+    ``decode="fake"`` produces deterministic buffers of the exact
+    target size so schema, batch shape and byte volume are real."""
+    if decode not in ("fake", "real"):
+        raise ValueError(decode)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if decode == "real":
+                raise NotImplementedError(
+                    "real media decoding requires image/audio libs; "
+                    "use decode='fake' for pipeline testing"
+                )
+            yield pd.DataFrame(
+                {
+                    "key": pdf[key_col].astype(str),
+                    "width": width,
+                    "height": height,
+                    "payload": [
+                        _fake_resize(bytes(p), width, height)
+                        for p in pdf[payload_col]
+                    ],
+                }
+            )
+
+    return df.select(key_col, payload_col).mapInPandas(run, RESIZED_SCHEMA)
+
+
 def frame_sample(
     df: DataFrame,
     every_ms: int = 1000,

@@ -1244,3 +1244,28 @@ def test_keyed_response_form(spark, built_index):
     assert isinstance(hb, dict)
     assert all(isinstance(k, str) for k in hb)
     assert isinstance(res["plain"]["buckets"], list)
+
+
+def test_resize_images_plumbing(spark):
+    """Resize plumbing: exact target byte volume, deterministic
+    buffers, and the real-decode seam."""
+    import hashlib
+
+    import pytest as _pytest
+
+    from quickwit_spark.functions.multimodal import resize_images
+
+    df = spark.createDataFrame(
+        [("a", b"img-bytes-1"), ("b", b"img-bytes-2")],
+        "key string, payload binary",
+    )
+    out = {r["key"]: r for r in resize_images(df, width=4, height=2).collect()}
+    assert set(out) == {"a", "b"}
+    n = 4 * 2 * 3
+    hexd = hashlib.md5(b"img-bytes-1").hexdigest()
+    want = (hexd * (n // 32 + 1))[:n].encode()
+    assert bytes(out["a"]["payload"]) == want
+    assert len(bytes(out["b"]["payload"])) == n
+    assert out["a"]["width"] == 4 and out["a"]["height"] == 2
+    with _pytest.raises(Exception, match="NotImplementedError|real media"):
+        resize_images(df, decode="real").collect()
