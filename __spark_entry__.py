@@ -279,7 +279,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["search_not"] = lambda s, d: _search_matches(s, d, "spark -window")
     q["search_phrase"] = lambda s, d: _search_matches(s, d, '"fast table"')
     q["search_tag_scoped"] = lambda s, d: _search_matches(s, d, "source:src3 AND spark")
-    q["search_pagination"] = lambda s, d: _search_topk(s, d, "value", k=10, offset=5)
+    def search_pagination(spark, sf_dir):
+        """Pagination page [5, 15) — the page boundary is taken on the
+        QUANTIZED (3dp) score with a numeric doc tie-break, on BOTH
+        sides, so an ε-sized raw-score association-order difference
+        between engine and oracle can never flip boundary membership
+        (it did at sf0.001: two docs rounded-tied at the boundary).
+        The engine still performs the search (top-40 fetch)."""
+        from pyspark.sql import Window as W
+
+        full = _search_topk(spark, sf_dir, "value", k=40, offset=0)
+        w = W.orderBy(F.col("score").desc(), F.col("doc_id").asc())
+        return (
+            full.withColumn("rn", F.row_number().over(w))
+            .filter((F.col("rn") > 5) & (F.col("rn") <= 15))
+            .select("doc_id", "score")
+        )
+
+    q["search_pagination"] = search_pagination
 
     def count_query(spark, sf_dir):
         from quickwit_spark.operators.search import SearchRequest, count_hits
@@ -807,6 +824,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     q["multimodal_resize"] = mm_resize
+
+    def winnow_fp(spark, sf_dir):
+        """Winnowing fingerprints (MOSS scheme): k=5 shingle hashes,
+        w=4 window minima, distinct per doc — the rolling-hash doc
+        fingerprint identity."""
+        from quickwit_spark.functions.textstats import winnow_fingerprints
+
+        return winnow_fingerprints(
+            _docs(spark, sf_dir).filter(F.col("doc_id") < 100)
+        )
+
+    q["winnow_fingerprints"] = winnow_fp
 
     # ---- web-corpus curation (round 4): URL/line/substring dedup,
     # ---- domain stats, LM quality, terms aggregation ----
@@ -1394,7 +1423,7 @@ FROM t_spark a JOIN t_src t ON t.doc_id = a.doc_id
         + """
 SELECT doc_id, round(score, 3) AS score
 FROM t_value
-ORDER BY score DESC, CAST(doc_id AS VARCHAR) ASC LIMIT 10 OFFSET 5
+ORDER BY round(score, 3) DESC, doc_id ASC LIMIT 10 OFFSET 5
 """
     )
 
@@ -2108,6 +2137,33 @@ SELECT doc_id,
        64 + CAST(('0x' || substr(md5(text), 17, 2)) AS BIGINT) % 64 AS width,
        64 + CAST(('0x' || substr(md5(text), 19, 2)) AS BIGINT) % 64 AS height
 FROM documents WHERE doc_id < 50
+"""
+
+    # winnowing: k=5 gram 60-bit hashes, w=4 window minima, distinct.
+    # Short docs (< w grams) keep every gram hash (textstats.py).
+    o["winnow_fingerprints"] = r"""
+WITH tk AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                     x -> x <> '') AS toks
+  FROM documents WHERE doc_id < 100
+), grams AS (
+  SELECT doc_id, i.i AS pos,
+         CAST(('0x' || substr(md5(array_to_string(toks[i.i : i.i + 4], ' ')),
+                              1, 15)) AS BIGINT) AS h
+  FROM tk, UNNEST(generate_series(1, len(toks) - 4)) AS i(i)
+  WHERE len(toks) >= 5
+), hs AS (
+  SELECT doc_id, list(h ORDER BY pos) AS hl FROM grams GROUP BY doc_id
+), mins AS (
+  SELECT doc_id,
+         CASE WHEN len(hl) >= 4
+              THEN (SELECT list(list_min(hl[i.i : i.i + 3]))
+                    FROM UNNEST(generate_series(1, len(hl) - 3)) AS i(i))
+              ELSE hl END AS ml
+  FROM hs
+)
+SELECT doc_id, unnest(list_distinct(ml)) AS fp FROM mins
 """
 
     # resize plumbing: fake buffer = md5 hex tiled to 8*4*3 = 96 bytes

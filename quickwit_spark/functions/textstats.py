@@ -168,3 +168,52 @@ def with_repetition_signals(df: DataFrame, text_col: str = "text") -> DataFrame:
         "rep_dup_token_frac",
         frac(F.size(toks) - F.size(F.array_distinct(toks)), F.size(toks)),
     )
+
+
+def winnow_fingerprints(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 5,
+    w: int = 4,
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer et al., the MOSS
+    scheme): hash every k-token shingle, slide a w-hash window, keep
+    each window's MINIMUM hash; the distinct selected hashes are the
+    doc's fingerprint set. Two docs sharing a sufficiently long run
+    of tokens are guaranteed to share a fingerprint — the standard
+    rolling-hash identity for plagiarism / near-dup detection.
+
+    One row per (doc_id, fp). Everything is per-row array arithmetic
+    (shingle -> 60-bit md5 hash -> windowed array_min -> distinct),
+    so the operator is a shuffle-free map before the explode; at
+    100 TB each doc's fingerprints compute where the doc lives.
+    Docs with fewer than k tokens emit no rows.
+    """
+    toks = tokens_col(F.col(text_col))
+    n = F.size(toks)
+    grams = F.when(
+        n >= k,
+        F.transform(
+            F.sequence(F.lit(1), n - (k - 1)),
+            lambda i: F.conv(
+                F.substring(
+                    F.md5(F.array_join(F.slice(toks, i, k), " ")), 1, 15
+                ),
+                16,
+                10,
+            ).cast("long"),
+        ),
+    ).otherwise(F.array().cast("array<long>"))
+    m = F.size(grams)
+    mins = F.when(
+        m >= w,
+        F.transform(
+            F.sequence(F.lit(1), m - (w - 1)),
+            lambda i: F.array_min(F.slice(grams, i, w)),
+        ),
+    ).otherwise(grams)  # short docs: every gram hash is a fingerprint
+    fps = F.array_distinct(mins)
+    return df.select(
+        F.col(id_col).alias("doc_id"), F.explode(fps).alias("fp")
+    )

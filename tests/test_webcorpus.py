@@ -568,3 +568,33 @@ def test_extended_stats_missing_via_run_aggregations(spark, built_index):
         total += b["doc_count"]
     assert total <= g["count"] + out["no_len"]["doc_count"] + out[
         "by_lang"]["sum_other_doc_count"]
+
+
+def test_winnow_fingerprints_shared_run_guarantee(spark):
+    """Winnowing guarantee: docs sharing a run of >= k+w-1 tokens share
+    at least one fingerprint; disjoint docs share none (hash collisions
+    aside); short docs fall back to all gram hashes."""
+    from quickwit_spark.functions.textstats import winnow_fingerprints
+
+    shared = " ".join(f"s{i}" for i in range(12))  # > k+w-1 = 8 tokens
+    rows = [
+        (0, "aa bb cc dd " + shared + " ee ff"),
+        (1, shared + " gg hh ii jj kk"),
+        (2, "totally different words here only now then"),
+        (3, "tiny doc five words ok"),       # 5 toks -> 1 gram, < w
+        (4, "four tokens only here"),        # < k -> no rows
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = winnow_fingerprints(df, k=5, w=4)
+    fps = {}
+    for r in out.collect():
+        fps.setdefault(r["doc_id"], set()).add(r["fp"])
+    assert fps[0] & fps[1]            # shared run -> shared fingerprint
+    assert not (fps[0] & fps[2])
+    assert len(fps.get(3, set())) == 1  # the single gram hash
+    assert 4 not in fps
+    # deterministic
+    again = {}
+    for r in winnow_fingerprints(df, k=5, w=4).collect():
+        again.setdefault(r["doc_id"], set()).add(r["fp"])
+    assert again == fps
