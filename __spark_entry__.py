@@ -978,6 +978,50 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["line_dedup"] = line_dedup
 
+    def line_dedup_within(spark, sf_dir):
+        from quickwit_spark.functions.linededup import dedup_lines_within
+
+        # same 12-token reshape as line_dedup, but inject INTRA-doc
+        # repeats: docs with doc_id%3==0 repeat their first body line
+        # at the end (mirrored in the oracle)
+        d = _docs(spark, sf_dir)
+        toks = F.filter(F.split(F.col("text"), r"\s+"), lambda t: t != "")
+        lines = F.transform(
+            F.sequence(
+                F.lit(0),
+                F.greatest(
+                    F.lit(0), F.floor((F.size(toks) - 1) / 12).cast("int")
+                ),
+            ),
+            lambda i: F.array_join(F.slice(toks, i * 12 + 1, 12), " "),
+        )
+        body = F.array_join(lines, "\n")
+        first_line = F.element_at(lines, 1)
+        text2 = F.concat(
+            F.when(
+                F.col("doc_id") % 5 == 0,
+                F.lit("subscribe to our newsletter for updates\n"),
+            ).otherwise(F.lit("")),
+            body,
+            F.when(
+                F.col("doc_id") % 3 == 0, F.concat(F.lit("\n"), first_line)
+            ).otherwise(F.lit("")),
+            F.when(
+                F.col("doc_id") % 7 == 0,
+                F.lit("\ncopyright example inc all rights reserved"),
+            ).otherwise(F.lit("")),
+        )
+        out = dedup_lines_within(d.withColumn("text", text2))
+        return out.select(
+            "doc_id",
+            "n_lines",
+            "n_removed",
+            F.length("new_text").alias("new_text_len"),
+            F.md5(F.col("new_text")).alias("new_text_md5"),
+        )
+
+    q["line_dedup_within"] = line_dedup_within
+
     def c4_clean_pages(spark, sf_dir):
         """C4-style line+page cleaning (T5 §2.2) over deterministically
         reshaped pages: 10-token lines with a per-(doc,line) punctuation
@@ -2283,6 +2327,51 @@ WITH tk AS (
          sum(CASE WHEN is_dup THEN 1 ELSE 0 END) AS n_removed,
          coalesce(string_agg(CASE WHEN NOT is_dup THEN line END, chr(10) ORDER BY pos), '') AS new_text
   FROM marked GROUP BY doc_id
+)
+SELECT d.doc_id, coalesce(p.n_lines, 0) AS n_lines,
+       coalesce(p.n_removed, 0) AS n_removed,
+       length(coalesce(p.new_text, '')) AS new_text_len,
+       md5(coalesce(p.new_text, '')) AS new_text_md5
+FROM documents d LEFT JOIN per_doc p ON d.doc_id = p.doc_id
+"""
+
+    o["line_dedup_within"] = r"""
+WITH tk AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS toks
+  FROM documents
+), reshaped AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 5 = 0
+              THEN 'subscribe to our newsletter for updates' || chr(10)
+              ELSE '' END
+         || coalesce((SELECT string_agg(array_to_string(toks[i.i*12+1 : i.i*12+12], ' '), chr(10) ORDER BY i.i)
+             FROM UNNEST(generate_series(0, greatest(0, CAST(floor((len(toks) - 1) / 12.0) AS BIGINT)))) AS i(i)), '')
+         || CASE WHEN doc_id % 3 = 0
+                 THEN chr(10) || array_to_string(toks[1 : 12], ' ')
+                 ELSE '' END
+         || CASE WHEN doc_id % 7 = 0
+                 THEN chr(10) || 'copyright example inc all rights reserved'
+                 ELSE '' END AS text2
+  FROM tk
+), splitlines AS (
+  SELECT doc_id, string_split(text2, chr(10)) AS ls FROM reshaped
+), rawlines AS (
+  SELECT doc_id, i.i AS ord, trim(ls[i.i]) AS line
+  FROM splitlines, UNNEST(generate_series(1, len(ls))) AS i(i)
+), lines AS (
+  SELECT doc_id, line,
+         ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY ord) - 1 AS pos
+  FROM rawlines WHERE line <> ''
+), firsted AS (
+  SELECT *, min(pos) OVER (PARTITION BY doc_id, line) AS first_pos
+  FROM lines
+), per_doc AS (
+  SELECT doc_id, count(*) AS n_lines,
+         count(*) - count(DISTINCT line) AS n_removed,
+         coalesce(string_agg(CASE WHEN pos = first_pos THEN line END,
+                             chr(10) ORDER BY pos), '') AS new_text
+  FROM firsted GROUP BY doc_id
 )
 SELECT d.doc_id, coalesce(p.n_lines, 0) AS n_lines,
        coalesce(p.n_removed, 0) AS n_removed,

@@ -44,6 +44,46 @@ def _lines(
     )
 
 
+def dedup_lines_within(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    sep: str = "\n",
+) -> DataFrame:
+    """Intra-document repetition removal (RefinedWeb §"repetition"
+    flavor at line granularity): within each doc, keep only the FIRST
+    occurrence of every exact (trimmed) line; later repeats are cut.
+
+    Unlike :func:`dedup_lines` (cross-doc boilerplate), this needs no
+    corpus-wide state at all — it is ONE per-row projection with zero
+    shuffles and zero joins, so at 100 TB it is embarrassingly
+    parallel and scan-bound. The running "seen" set is built with
+    ``F.aggregate`` over the line array (O(lines²) per doc in the
+    worst case, but real pages have tens of lines; everything stays
+    inside whole-stage codegen).
+
+    Output: (doc_id, n_lines, n_removed, new_text) with the same
+    trim/empty-line rules as :func:`dedup_lines`.
+    """
+    arr = F.filter(
+        F.transform(F.split(F.col(text_col), sep), lambda l: F.trim(l)),
+        lambda l: l != "",
+    )
+    kept = F.aggregate(
+        arr,
+        F.expr("CAST(array() AS array<string>)"),
+        lambda acc, x: F.when(F.array_contains(acc, x), acc).otherwise(
+            F.concat(acc, F.array(x))
+        ),
+    )
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(arr).alias("n_lines"),
+        (F.size(arr) - F.size(kept)).alias("n_removed"),
+        F.array_join(kept, sep).alias("new_text"),
+    )
+
+
 def dedup_lines(
     df: DataFrame,
     text_col: str = "text",

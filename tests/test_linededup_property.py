@@ -9,6 +9,8 @@ from __future__ import annotations
 
 import random
 
+from pyspark.sql import functions as F
+
 from quickwit_spark.functions.linededup import dedup_lines
 
 
@@ -83,3 +85,53 @@ def test_dedup_lines_min_docs_property(spark):
         assert got == _naive(rows, min_docs=min_docs)
     # min_docs beyond corpus size removes nothing
     assert all(v[1] == 0 for v in got.values())
+
+
+def _naive_within(rows):
+    out = {}
+    for d, t in rows:
+        ls = [l.strip(" ") for l in t.split("\n") if l.strip(" ") != ""]
+        seen, kept = set(), []
+        for l in ls:
+            if l not in seen:
+                seen.add(l)
+                kept.append(l)
+        out[d] = (len(ls), len(ls) - len(kept), "\n".join(kept))
+    return out
+
+
+def test_dedup_lines_within_matches_naive_model(spark):
+    from quickwit_spark.functions.linededup import dedup_lines_within
+
+    for seed in range(12):
+        rows = _gen(seed)
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        got = {
+            r["doc_id"]: (r["n_lines"], r["n_removed"], r["new_text"])
+            for r in dedup_lines_within(df).collect()
+        }
+        want = _naive_within(rows)
+        assert got == want, f"seed {seed}: {got} != {want}"
+
+
+def test_dedup_lines_within_is_shuffle_free(spark):
+    from quickwit_spark.functions.linededup import dedup_lines_within
+
+    df = spark.createDataFrame([(1, "a\nb\na")], "doc_id long, text string")
+    plan = dedup_lines_within(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
+
+
+def test_dedup_lines_within_idempotent(spark):
+    from quickwit_spark.functions.linededup import dedup_lines_within
+
+    rows = _gen(5)
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    once = dedup_lines_within(df).select(
+        "doc_id", F.col("new_text").alias("text")
+    )
+    twice = {
+        r["doc_id"]: (r["n_removed"], r["new_text"])
+        for r in dedup_lines_within(once).collect()
+    }
+    assert all(v[0] == 0 for v in twice.values())
