@@ -1022,6 +1022,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["line_dedup_within"] = line_dedup_within
 
+    def top_ngrams_by_lang(spark, sf_dir):
+        from quickwit_spark.functions.textstats import top_ngrams
+
+        return top_ngrams(_docs(spark, sf_dir), n=2, k=5, group_col="lang")
+
+    q["top_ngrams"] = top_ngrams_by_lang
+
     def c4_clean_pages(spark, sf_dir):
         """C4-style line+page cleaning (T5 §2.2) over deterministically
         reshaped pages: 10-token lines with a per-(doc,line) punctuation
@@ -2378,6 +2385,27 @@ SELECT d.doc_id, coalesce(p.n_lines, 0) AS n_lines,
        length(coalesce(p.new_text, '')) AS new_text_len,
        md5(coalesce(p.new_text, '')) AS new_text_md5
 FROM documents d LEFT JOIN per_doc p ON d.doc_id = p.doc_id
+"""
+
+    o["top_ngrams"] = r"""
+WITH tk AS (
+  SELECT lang,
+         list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+             x -> x <> '') AS toks
+  FROM documents
+), bg AS (
+  SELECT lang, toks[i.i] || ' ' || toks[i.i + 1] AS ngram
+  FROM tk, UNNEST(generate_series(1, len(toks) - 1)) AS i(i)
+  WHERE len(toks) >= 2
+), c AS (
+  SELECT lang AS grp, ngram, count(*) AS n_occurrences
+  FROM bg GROUP BY lang, ngram
+), r AS (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY grp ORDER BY n_occurrences DESC, ngram ASC) AS rank
+  FROM c
+)
+SELECT grp, ngram, n_occurrences, rank FROM r WHERE rank <= 5
 """
 
     # gap-filled histogram (ES min_doc_count=0 default): the oracle

@@ -217,3 +217,49 @@ def winnow_fingerprints(
     return df.select(
         F.col(id_col).alias("doc_id"), F.explode(fps).alias("fp")
     )
+
+
+def top_ngrams(
+    df: DataFrame,
+    n: int = 2,
+    k: int = 10,
+    text_col: str = "text",
+    group_col: str | None = None,
+) -> DataFrame:
+    """Corpus-level top-``k`` most frequent word n-grams, optionally
+    per group (e.g. per language) — the standard corpus-inspection
+    table curation teams eyeball for template/boilerplate pollution
+    before training (C4 / Dolma publish exactly these).
+
+    Plan shape (scale analysis for 100 TB): per-row n-gram arrays are
+    a narrow projection; the ONLY corpus-sized shuffle is one hash
+    aggregation on (group, ngram) with map-side partial counts. The
+    rank window runs over already-aggregated distinct-ngram rows, and
+    because the filter is ``row_number() <= k`` Spark's
+    WindowGroupLimit rewrite caps each map task's contribution to k
+    rows per group BEFORE the window exchange — the final sort never
+    sees the full distinct-ngram tail (plan-asserted in tests).
+
+    Ties break deterministically: count desc, then ngram asc.
+    Output: (grp, ngram, n_occurrences, rank); ``grp`` is constant ''
+    when ``group_col`` is None.
+    """
+    toks = tokens_col(F.col(text_col))
+    grams = _word_ngrams(toks, n)
+    grp = F.col(group_col) if group_col else F.lit("")
+    exploded = df.select(grp.alias("grp"), F.explode(grams).alias("ngram"))
+    counted = exploded.groupBy("grp", "ngram").agg(
+        F.count(F.lit(1)).alias("n_occurrences")
+    )
+    from pyspark.sql import Window
+
+    # always partition by grp (constant '' when ungrouped) so the
+    # window never plans the warn-level no-partition global sort
+    w = Window.partitionBy(F.col("grp")).orderBy(
+        F.col("n_occurrences").desc(), F.col("ngram").asc()
+    )
+    return (
+        counted.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("grp", "ngram", "n_occurrences", "rank")
+    )

@@ -598,3 +598,36 @@ def test_winnow_fingerprints_shared_run_guarantee(spark):
     for r in winnow_fingerprints(df, k=5, w=4).collect():
         again.setdefault(r["doc_id"], set()).add(r["fp"])
     assert again == fps
+
+
+def test_top_ngrams_counts_ties_and_group_limit_plan(spark):
+    from quickwit_spark.functions.textstats import top_ngrams
+
+    rows = [
+        (0, "en", "the cat sat on the cat mat"),
+        (1, "en", "the cat ran. The Cat!"),     # case/punct-folded
+        (2, "de", "der hund der hund lief"),
+        (3, "de", ""),                          # empty doc contributes nothing
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    out = top_ngrams(df, n=2, k=3, group_col="lang")
+    got = {(r["grp"], r["ngram"]): (r["n_occurrences"], r["rank"])
+           for r in out.collect()}
+    # "the cat" appears 4x across en docs (case-folded); ties on count
+    # break toward the lexicographically smaller ngram
+    assert got[("en", "the cat")] == (4, 1)
+    assert got[("de", "der hund")] == (2, 1)
+    assert got[("de", "hund der")][0] == 1
+    en = sorted((v[1], k[1]) for k, v in got.items() if k[0] == "en")
+    assert [r for r, _ in en] == [1, 2, 3]       # exactly k=3 rows for en
+    # the rank<=k filter must become a pre-shuffle group limit so map
+    # tasks never exchange the full distinct-ngram tail
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan, plan
+    # ungrouped mode: one global table with constant grp
+    g = top_ngrams(df, n=1, k=2)
+    rows1 = sorted(g.collect(), key=lambda r: r["rank"])
+    assert all(r["grp"] == "" for r in rows1) and len(rows1) == 2
+    # "cat" and "the" tie at 4 occurrences; "cat" wins lexicographically
+    assert rows1[0]["ngram"] == "cat" and rows1[0]["n_occurrences"] == 4
+    assert rows1[1]["ngram"] == "the" and rows1[1]["n_occurrences"] == 4
