@@ -618,6 +618,36 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         F.col("key").alias("doc_id"), "content_hash", "group_size", "is_canonical"
     )
 
+    def incremental_dedup(spark, sf_dir):
+        """Batch-vs-corpus dedup: docs with doc_id%3==0 are the
+        published corpus, the rest the new batch. The synthetic
+        documents table has no natural exact dups, so two boilerplate
+        texts are injected deterministically (mirrored in the oracle):
+        doc_id%11==0 → a page that exists in BOTH corpus and batch;
+        doc_id%7==1 → a page duplicated WITHIN the batch only."""
+        d = _docs(spark, sf_dir)
+        text2 = (
+            F.when(
+                F.col("doc_id") % 11 == 0,
+                F.lit("breaking news weather update tonight"),
+            )
+            .when(
+                (F.col("doc_id") % 7 == 1) & (F.col("doc_id") % 3 != 0),
+                F.lit("local sports scores and highlights"),
+            )
+            .otherwise(F.col("text"))
+        )
+        d = d.withColumn("text", text2)
+        corpus = dedup.exact_dup_groups(
+            d.filter(F.col("doc_id") % 3 == 0)
+        ).select("content_hash")
+        batch = d.filter(F.col("doc_id") % 3 != 0)
+        return dedup.dedup_against(batch, corpus).withColumnRenamed(
+            "key", "doc_id"
+        )
+
+    q["incremental_dedup"] = incremental_dedup
+
     def minhash_sigs(spark, sf_dir):
         d = _docs(spark, sf_dir).filter(F.col("doc_id") < 50)
         return dedup.minhash_signatures(d, num_hashes=6, k=2).withColumnRenamed(
@@ -1770,6 +1800,35 @@ SELECT doc_id, content_hash,
        count(*) OVER (PARTITION BY content_hash) AS group_size,
        doc_id = min(doc_id) OVER (PARTITION BY content_hash) AS is_canonical
 FROM h
+"""
+
+    o["incremental_dedup"] = r"""
+WITH d AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 11 = 0 THEN 'breaking news weather update tonight'
+              WHEN doc_id % 7 = 1 AND doc_id % 3 <> 0
+                   THEN 'local sports scores and highlights'
+              ELSE text END AS text
+  FROM documents
+), norm AS (
+  SELECT doc_id,
+         array_to_string(list_filter(
+             regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+             x -> x <> ''), ' ') AS ntext
+  FROM d
+), h AS (
+  SELECT doc_id, md5(ntext) AS content_hash FROM norm
+), corpus AS (
+  SELECT DISTINCT content_hash FROM h WHERE doc_id % 3 = 0
+), b AS (
+  SELECT doc_id, content_hash FROM h WHERE doc_id % 3 <> 0
+)
+SELECT b.doc_id, b.content_hash,
+       (c.content_hash IS NOT NULL) AS in_corpus,
+       (c.content_hash IS NULL AND
+        b.doc_id = min(b.doc_id) OVER (PARTITION BY b.content_hash)
+       ) AS is_new_canonical
+FROM b LEFT JOIN corpus c ON b.content_hash = c.content_hash
 """
 
     o["minhash_signatures"] = _shingle_sql(max_doc=50, k=2) + """

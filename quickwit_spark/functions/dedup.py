@@ -378,3 +378,51 @@ def near_dup_groups(
     return out.withColumn("group_size", F.count("*").over(w)).withColumn(
         "is_canonical", F.col("key") == F.col("group_id")
     )
+
+
+def dedup_against(
+    batch: DataFrame,
+    corpus_hashes: DataFrame,
+    text_col: str = "text",
+    key_col: str = "doc_id",
+    hash_col: str = "content_hash",
+) -> DataFrame:
+    """Incremental exact dedup of a new ingest batch against an
+    already-published corpus — the periodic-crawl flow: given the
+    corpus's content-hash table (e.g. the ``content_hash`` column of
+    :func:`exact_dup_groups` output, persisted at publish time), mark
+    each batch doc as already-in-corpus, an intra-batch repeat, or
+    the batch-canonical first occurrence of genuinely new content —
+    only the last should be ingested.
+
+    Output: (key, content_hash, in_corpus, is_new_canonical).
+
+    Scale (10^12-doc corpus): only the corpus's 32-byte hash COLUMN is
+    scanned, never its text; the membership probe is one equi-join on
+    md5 (broadcast when the hash table is small, sort-merge otherwise
+    — an un-skewable key); within-batch canonicalization windows over
+    the BATCH side only. Nothing is ever quadratic.
+    """
+    from pyspark.sql import Window
+
+    h = F.md5(normalized_text(F.col(text_col)))
+    b = batch.select(F.col(key_col).alias("key"), h.alias("content_hash"))
+    corpus = (
+        corpus_hashes.select(F.col(hash_col).alias("content_hash"))
+        .distinct()
+        .withColumn("__in", F.lit(True))
+    )
+    w = Window.partitionBy("content_hash")
+    return (
+        b.join(corpus, "content_hash", "left")
+        .select(
+            "key",
+            "content_hash",
+            F.coalesce("__in", F.lit(False)).alias("in_corpus"),
+        )
+        .withColumn(
+            "is_new_canonical",
+            (~F.col("in_corpus"))
+            & (F.col("key") == F.min("key").over(w)),
+        )
+    )

@@ -36,6 +36,39 @@ def test_exact_dup_groups(spark, docs_df):
     assert rows[2]["group_size"] == 1
 
 
+def test_dedup_against_incremental(spark, docs_df):
+    """Batch-vs-corpus flow: corpus = docs 0+3, batch = 1,2,4,4',5.
+    Doc 1 duplicates corpus doc 0 -> in_corpus. Two batch copies of
+    doc 4's text -> one canonical. Normalization (case/punct) folds."""
+    from quickwit_spark.functions.dedup import dedup_against, exact_dup_groups
+
+    corpus = exact_dup_groups(docs_df.filter("doc_id IN (0, 3)")).select(
+        "content_hash"
+    )
+    batch = docs_df.filter("doc_id IN (1, 2, 4, 5)").union(
+        spark.createDataFrame(
+            [(6, "Completely DIFFERENT content; about Spark engines!")],
+            "doc_id long, text string",
+        )
+    )
+    out = {r["key"]: r for r in dedup_against(batch, corpus).collect()}
+    assert out[1]["in_corpus"] and not out[1]["is_new_canonical"]
+    assert not out[2]["in_corpus"] and out[2]["is_new_canonical"]
+    # 4 and 6 normalize to identical text -> 4 is the batch canonical
+    assert out[4]["content_hash"] == out[6]["content_hash"]
+    assert out[4]["is_new_canonical"] and not out[6]["is_new_canonical"]
+    assert not out[6]["in_corpus"]
+    # ingesting only canonicals then re-running marks everything seen
+    corpus2 = corpus.union(
+        spark.createDataFrame(
+            [[out[k]["content_hash"]] for k in out if out[k]["is_new_canonical"]],
+            "content_hash string",
+        )
+    )
+    again = dedup_against(batch, corpus2).collect()
+    assert all(r["in_corpus"] and not r["is_new_canonical"] for r in again)
+
+
 def test_minhash_lsh_finds_near_dups(spark, docs_df):
     from quickwit_spark.functions.dedup import (
         lsh_candidate_pairs,
