@@ -1332,6 +1332,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["lm_quality"] = lm_quality
 
+    def perplexity_buckets_q(spark, sf_dir):
+        from quickwit_spark.functions.lmquality import perplexity_buckets
+
+        # lm_score itself is hash-compared green in lm_quality; here
+        # the compared cells are the integer/string bucket outcome
+        return perplexity_buckets(_docs(spark, sf_dir)).select(
+            "doc_id", "lang", "n_bigrams", "bucket"
+        )
+
+    q["perplexity_buckets"] = perplexity_buckets_q
+
     def terms_agg(spark, sf_dir):
         from quickwit_spark.operators.aggregations import terms_buckets
         from quickwit_spark.operators.search import (
@@ -2871,6 +2882,47 @@ WITH tk AS (
 )
 SELECT d.doc_id, coalesce(s.n_bigrams, 0) AS n_bigrams, s.lm_score
 FROM documents d LEFT JOIN scored s ON d.doc_id = s.doc_id
+"""
+
+    o["perplexity_buckets"] = r"""
+WITH tk AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+             x -> x <> '') AS arr
+  FROM documents
+), bg AS (
+  SELECT doc_id, arr[i.i] AS w1, arr[i.i + 1] AS w2
+  FROM tk, UNNEST(generate_series(1, len(arr) - 1)) AS i(i)
+  WHERE len(arr) >= 2
+), model AS (
+  SELECT w1, w2, count(*) AS c12 FROM bg GROUP BY w1, w2
+), lt AS (
+  SELECT w1, sum(c12) AS c1 FROM model GROUP BY w1
+), v AS (
+  SELECT count(DISTINCT t.t) AS v
+  FROM (SELECT unnest(arr) AS t FROM tk) t
+), scored AS (
+  SELECT b.doc_id, count(*) AS n_bigrams,
+         round(avg(ln((m.c12 + 1) / (CAST(l.c1 AS DOUBLE) + v.v))), 3) AS lm_score
+  FROM bg b
+  JOIN model m ON b.w1 = m.w1 AND b.w2 = m.w2
+  JOIN lt l ON b.w1 = l.w1
+  CROSS JOIN v
+  GROUP BY b.doc_id
+), sc AS (
+  SELECT d.doc_id, d.lang, coalesce(s.n_bigrams, 0) AS n_bigrams, s.lm_score
+  FROM documents d LEFT JOIN scored s ON d.doc_id = s.doc_id
+), cuts AS (
+  SELECT lang, quantile_cont(lm_score, 0.75) AS cut_head,
+         quantile_cont(lm_score, 0.25) AS cut_mid
+  FROM sc WHERE lm_score IS NOT NULL GROUP BY lang
+)
+SELECT sc.doc_id, sc.lang, sc.n_bigrams,
+       CASE WHEN sc.lm_score IS NULL THEN 'tail'
+            WHEN sc.lm_score >= c.cut_head THEN 'head'
+            WHEN sc.lm_score >= c.cut_mid THEN 'middle'
+            ELSE 'tail' END AS bucket
+FROM sc LEFT JOIN cuts c ON sc.lang = c.lang
 """
 
     o["terms_agg"] = _with(_TOKS_CTE) + """

@@ -89,3 +89,62 @@ def bigram_lm_score(
         F.coalesce("n_bigrams", F.lit(0)).alias("n_bigrams"),
         "lm_score",
     )
+
+
+def perplexity_buckets(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    lang_col: str = "lang",
+) -> DataFrame:
+    """CCNet's head/middle/tail split: per language, docs are bucketed
+    by LM-score quantiles (head = least perplexing — CCNet keeps
+    "head" for training, inspects "middle", drops "tail"). The
+    cutoffs are the QUARTILES (head = top quarter, tail = bottom
+    quarter) rather than CCNet's thirds: 0.25/0.75 are binary-exact
+    fractions, so the rank position (n-1)·q is computed exactly in
+    every engine, while 1/3 rounds in binary and can land the
+    interpolated cutoff within one ULP of a real data value —
+    flipping boundary docs between engines (observed on this corpus).
+
+    Output: (doc_id, lang, n_bigrams, lm_score, bucket).
+
+    Scale (why this is NOT a per-lang global sort): the tercile
+    cutoffs come from one exact ``percentile`` aggregation per lang —
+    and because ``lm_score`` is 3dp-quantized, the percentile's
+    per-group value-count state is bounded by the few thousand
+    distinct quantized scores, independent of corpus size. Bucketing
+    is then a broadcast join of |langs| cutoff rows + a comparison —
+    a pure map stage. A rank-window formulation would sort the whole
+    corpus per lang; this never does.
+
+    Cutoff comparisons are cross-engine robust: scores are quantized
+    to a 0.001 grid; with binary-exact q the interpolation fraction
+    is exactly 0 (cutoff IS a data value, no arithmetic) or ≥ 0.25
+    (cutoff ≥ 250 µunits inside the open interval between two grid
+    values), so no document score sits within one ULP of a cutoff.
+    """
+    s = bigram_lm_score(df, text_col, id_col)
+    langs = df.select(
+        F.col(id_col).alias("doc_id"), F.col(lang_col).alias("lang")
+    )
+    scored = langs.join(s, "doc_id")
+    cuts = (
+        scored.filter(F.col("lm_score").isNotNull())
+        .groupBy("lang")
+        .agg(
+            F.expr("percentile(lm_score, 0.75)").alias("cut_head"),
+            F.expr("percentile(lm_score, 0.25)").alias("cut_mid"),
+        )
+    )
+    return scored.join(F.broadcast(cuts), "lang", "left").select(
+        "doc_id",
+        "lang",
+        "n_bigrams",
+        "lm_score",
+        F.when(F.col("lm_score").isNull(), F.lit("tail"))
+        .when(F.col("lm_score") >= F.col("cut_head"), F.lit("head"))
+        .when(F.col("lm_score") >= F.col("cut_mid"), F.lit("middle"))
+        .otherwise(F.lit("tail"))
+        .alias("bucket"),
+    )

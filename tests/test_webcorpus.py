@@ -631,3 +631,39 @@ def test_top_ngrams_counts_ties_and_group_limit_plan(spark):
     # "cat" and "the" tie at 4 occurrences; "cat" wins lexicographically
     assert rows1[0]["ngram"] == "cat" and rows1[0]["n_occurrences"] == 4
     assert rows1[1]["ngram"] == "the" and rows1[1]["n_occurrences"] == 4
+
+
+def test_perplexity_buckets_quartiles_and_plan(spark):
+    from quickwit_spark.functions.lmquality import perplexity_buckets
+
+    rng_words = ["alpha", "beta", "gamma", "delta", "epsilon", "zeta"]
+    rows = []
+    for d in range(24):
+        # vary fluency: low-d docs repeat a common bigram (high score),
+        # high-d docs use rarer transitions
+        w = [rng_words[(d * (i + 1) + i * i) % len(rng_words)] for i in range(10)]
+        rows.append((d, "en", " ".join(w)))
+    rows.append((24, "en", "solo"))          # < 2 tokens -> NULL score
+    df = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    out = perplexity_buckets(df)
+    got = {r["doc_id"]: r for r in out.collect()}
+    assert got[24]["bucket"] == "tail" and got[24]["n_bigrams"] == 0
+    counts = {"head": 0, "middle": 0, "tail": 0}
+    for r in got.values():
+        counts[r["bucket"]] += 1
+    # quartile cutoffs: every bucket is populated (ties can skew the
+    # split, so only existence + ordering invariants are exact)
+    assert counts["head"] >= 1 and counts["middle"] >= 1
+    assert counts["tail"] >= 1
+    # every scored doc in head has score >= every doc in middle/tail
+    head_min = min(r["lm_score"] for r in got.values() if r["bucket"] == "head")
+    rest_max = max(
+        (r["lm_score"] for r in got.values()
+         if r["bucket"] != "head" and r["lm_score"] is not None),
+        default=float("-inf"),
+    )
+    assert head_min >= rest_max
+    # scale contract: bucketing is cutoff-join + compare, never a
+    # corpus-wide rank window
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "WindowExec" not in plan and "RunningWindow" not in plan, plan
