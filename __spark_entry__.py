@@ -1343,6 +1343,47 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["perplexity_buckets"] = perplexity_buckets_q
 
+    def _linked_pages(spark, sf_dir):
+        """documents + deterministic synthetic html: the page body in
+        <p> plus two absolute <a href> links (one canonical, one
+        case/www/port-variant exercising host normalization) and a
+        relative link on doc_id%4==0 that extraction must drop.
+        Mirrored byte-for-byte in the link_graph/pagerank oracles."""
+        d = _docs(spark, sf_dir)
+        url = F.concat(
+            F.lit("http://"), F.col("source"), F.lit(".example.com/p/"),
+            F.col("doc_id"),
+        )
+        html = F.concat(
+            F.lit("<p>"), F.col("text"), F.lit("</p>"),
+            F.lit('<a href="http://src'), F.col("doc_id") % 20,
+            F.lit('.example.com/x">l1</a>'),
+            F.lit('<a href="https://WWW.src'), (F.col("doc_id") * 3 + 7) % 20,
+            F.lit('.Example.com:443/y?q=1">l2</a>'),
+            F.when(
+                F.col("doc_id") % 4 == 0, F.lit('<a href="/rel/path">r</a>')
+            ).otherwise(F.lit("")),
+        )
+        return d.select(url.alias("url"), html.alias("html"))
+
+    def link_graph(spark, sf_dir):
+        from quickwit_spark.functions.linkgraph import domain_link_graph
+
+        return domain_link_graph(_linked_pages(spark, sf_dir))
+
+    q["link_graph"] = link_graph
+
+    def pagerank(spark, sf_dir):
+        from quickwit_spark.functions.linkgraph import (
+            domain_link_graph,
+            pagerank_int,
+        )
+
+        edges = domain_link_graph(_linked_pages(spark, sf_dir))
+        return pagerank_int(edges, iterations=3)
+
+    q["pagerank"] = pagerank
+
     def terms_agg(spark, sf_dir):
         from quickwit_spark.operators.aggregations import terms_buckets
         from quickwit_spark.operators.search import (
@@ -2924,6 +2965,74 @@ SELECT sc.doc_id, sc.lang, sc.n_bigrams,
             ELSE 'tail' END AS bucket
 FROM sc LEFT JOIN cuts c ON sc.lang = c.lang
 """
+
+    _LINKED_CTE = r"""
+d AS (
+  SELECT doc_id,
+         'http://' || source || '.example.com/p/' || doc_id AS url,
+         '<p>' || text || '</p>'
+         || '<a href="http://src' || (doc_id % 20) || '.example.com/x">l1</a>'
+         || '<a href="https://WWW.src' || ((doc_id * 3 + 7) % 20)
+         || '.Example.com:443/y?q=1">l2</a>'
+         || CASE WHEN doc_id % 4 = 0
+                 THEN '<a href="/rel/path">r</a>' ELSE '' END AS html
+  FROM documents
+), links AS (
+  SELECT url, unnest(regexp_extract_all(html, '<a\s[^>]*href="([^"]*)"', 1)) AS href
+  FROM d
+), hosts AS (
+  SELECT
+    regexp_replace(regexp_replace(
+      lower(regexp_extract(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]*)', 1)),
+      ':[0-9]+$', ''), '^www\.', '') AS src_domain,
+    regexp_replace(regexp_replace(
+      lower(regexp_extract(href, '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]*)', 1)),
+      ':[0-9]+$', ''), '^www\.', '') AS dst_domain
+  FROM links
+), edges AS (
+  SELECT src_domain, dst_domain, count(*) AS n_links
+  FROM hosts WHERE src_domain <> '' AND dst_domain <> ''
+  GROUP BY src_domain, dst_domain
+)
+"""
+
+    o["link_graph"] = "WITH " + _LINKED_CTE + """
+SELECT src_domain, dst_domain, n_links FROM edges
+"""
+
+    _PR_ITER = """
+, c{i} AS (
+  SELECT e.dst_domain AS domain,
+         sum((r.rank // o.od) * e.n_links) AS inflow
+  FROM edges e
+  JOIN r{p} r ON e.src_domain = r.domain
+  JOIN od o ON e.src_domain = o.src_domain
+  GROUP BY e.dst_domain
+), r{i} AS (
+  SELECT n.domain,
+         CAST(150000000 + (85 * coalesce(c.inflow, 0)) // 100 AS BIGINT)
+           AS rank
+  FROM nodes n LEFT JOIN c{i} c ON n.domain = c.domain
+)
+"""
+
+    o["pagerank"] = (
+        "WITH " + _LINKED_CTE + """
+, nodes AS (
+  SELECT src_domain AS domain FROM edges
+  UNION
+  SELECT dst_domain FROM edges
+), od AS (
+  SELECT src_domain, sum(n_links) AS od FROM edges GROUP BY src_domain
+), r0 AS (
+  SELECT domain, CAST(1000000000 AS BIGINT) AS rank FROM nodes
+)
+"""
+        + _PR_ITER.format(i=1, p=0)
+        + _PR_ITER.format(i=2, p=1)
+        + _PR_ITER.format(i=3, p=2)
+        + "SELECT domain, rank FROM r3"
+    )
 
     o["terms_agg"] = _with(_TOKS_CTE) + """
 , m AS (SELECT DISTINCT doc_id FROM toks WHERE term = 'value')
