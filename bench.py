@@ -289,6 +289,24 @@ def main() -> None:
 
             queries["quality_clf"] = round(p50(run_qclf, runs=3), 3)
 
+            # round-5 session headliners: corpus-trained LM bucketing
+            # (two aggs + broadcast cutoff join) and per-lang top
+            # n-grams (one agg + pre-shuffle group limit)
+            from quickwit_spark.functions.lmquality import (
+                perplexity_buckets,
+            )
+            from quickwit_spark.functions.textstats import top_ngrams
+
+            def run_ppl():
+                perplexity_buckets(d).groupBy("bucket").count().collect()
+
+            queries["perplexity_buckets"] = round(p50(run_ppl, runs=3), 3)
+
+            def run_tng():
+                top_ngrams(d, n=2, k=10, group_col="lang").collect()
+
+            queries["top_ngrams"] = round(p50(run_tng, runs=3), 3)
+
         events_path = os.path.join(sf_dir, "events.parquet")
         if os.path.exists(events_path):
             from quickwit_spark.functions.sessions import sessionize

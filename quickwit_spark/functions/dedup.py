@@ -426,3 +426,30 @@ def dedup_against(
             & (F.col("key") == F.min("key").over(w)),
         )
     )
+
+
+def dedup_exact_stream(
+    df: DataFrame, text_col: str = "text", key_col: str = "doc_id"
+) -> DataFrame:
+    """Streaming twin of exact dedup for continuous ingestion: over a
+    STREAMING DataFrame of documents, emit only the first arrival of
+    each distinct normalized content — Spark's stateful streaming
+    ``dropDuplicates`` keyed on the 32-byte md5, the idiomatic
+    engine-managed version of the seen-hash set.
+
+    Output: (key, content_hash) append stream.
+
+    Contract / scale notes: state is the distinct-hash set, stored in
+    the state store partitioned by hash (HDFS/RocksDB-backed at
+    cluster scale), and without a watermark it grows with distinct
+    content forever — the right semantic for corpus dedup, where
+    "seen once, ever" is the contract (the batch side's periodic
+    :func:`dedup_against` anti-join is the compaction path when state
+    must be rebased onto a published corpus). With time-ordered
+    arrival the kept doc per group equals the batch
+    :func:`exact_dup_groups` canonical (min key) — pinned by test.
+    """
+    h = F.md5(normalized_text(F.col(text_col)))
+    return df.select(
+        F.col(key_col).alias("key"), h.alias("content_hash")
+    ).dropDuplicates(["content_hash"])

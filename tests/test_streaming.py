@@ -156,3 +156,65 @@ def test_kafka_source_wiring(spark):
     df = kafka_stream_source(spark, "localhost:9092", "topic")
     cols = set(df.columns)
     assert {"key", "value", "topic", "partition", "offset"} <= cols
+
+
+def test_dedup_exact_stream_matches_batch_canonicals(spark):
+    """Streaming dropDuplicates-on-hash emits exactly the batch
+    canonical set (first arrival == min doc_id under time-ordered
+    feeding), across micro-batch boundaries."""
+    import os
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from quickwit_spark.functions.dedup import (
+        dedup_exact_stream,
+        exact_dup_groups,
+    )
+
+    rows = []
+    for i in range(30):
+        if i % 5 == 2:
+            text = "shared boilerplate page body"      # cross-batch dups
+        elif i % 7 == 3:
+            text = "Shared BOILERPLATE page body!!"    # normalizes equal
+        else:
+            text = f"unique content number {i} with words"
+        rows.append((i, text))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    with tempfile.TemporaryDirectory(prefix="qws_dds_") as d:
+        src = os.path.join(d, "src")
+        ckpt = os.path.join(d, "ckpt")
+        for b in range(3):                            # 3 ordered batches
+            df.filter(
+                (F.col("doc_id") >= b * 10) & (F.col("doc_id") < (b + 1) * 10)
+            ).coalesce(1).write.parquet(os.path.join(src, f"b{b}"))
+        stream = (
+            spark.readStream.schema("doc_id long, text string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(os.path.join(src, "*"))
+        )
+        q = (
+            dedup_exact_stream(stream)
+            .writeStream.format("memory")
+            .queryName("dds_out")
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        got = {
+            (r["key"], r["content_hash"])
+            for r in spark.table("dds_out").collect()
+        }
+
+    want = {
+        (r["key"], r["content_hash"])
+        for r in exact_dup_groups(df).filter("is_canonical").collect()
+    }
+    assert got == want
+    assert len(got) < 30  # dups actually collapsed
