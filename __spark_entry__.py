@@ -1406,6 +1406,39 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["terms_agg"] = terms_agg
 
+    def agg_top_hits(spark, sf_dir):
+        """ES top_hits under a histogram agg: per-200-char-bucket
+        top-2 matched docs by n_chars (engine tie-break: internal doc
+        id asc == doc_id asc on this single-split index), flattened
+        to rows; gap-filled empty buckets carry no hits."""
+        from quickwit_spark.operators.aggregations import run_aggregations
+        from quickwit_spark.operators.search import SearchRequest
+
+        idx = _docs_index(spark, sf_dir)
+        res = run_aggregations(
+            spark, idx, SearchRequest(query="table"),
+            {"sizes": {
+                "histogram": {"field": "n_chars", "interval": 200},
+                "aggs": {"top": {"top_hits": {
+                    "size": 2, "sort": [{"n_chars": "desc"}],
+                    "_source": ["key", "n_chars"]}}},
+            }},
+        )
+        rows = []
+        for b in res["sizes"]["buckets"]:
+            for rk, h in enumerate(b["top"]["hits"]["hits"], 1):
+                rows.append((
+                    int(b["key"]), int(b["doc_count"]), rk,
+                    int(h["_source"]["key"]), int(h["_source"]["n_chars"]),
+                ))
+        return spark.createDataFrame(
+            rows,
+            "bucket long, doc_count long, rank long, doc_id long, "
+            "n_chars long",
+        )
+
+    q["agg_top_hits"] = agg_top_hits
+
     def agg_cardinality(spark, sf_dir):
         from quickwit_spark.operators.aggregations import _metric_cols
         from quickwit_spark.operators.search import (
@@ -2923,6 +2956,27 @@ WITH tk AS (
 )
 SELECT d.doc_id, coalesce(s.n_bigrams, 0) AS n_bigrams, s.lm_score
 FROM documents d LEFT JOIN scored s ON d.doc_id = s.doc_id
+"""
+
+    o["agg_top_hits"] = _with(_TOKS_CTE) + """
+, m AS (SELECT DISTINCT doc_id FROM toks WHERE term = 'table')
+, j AS (
+  SELECT d.doc_id, d.n_chars,
+         CAST(floor(d.n_chars / 200.0) * 200 AS BIGINT) AS bucket
+  FROM documents d JOIN m ON d.doc_id = m.doc_id
+), cnt AS (
+  SELECT bucket, count(*) AS doc_count FROM j GROUP BY bucket
+), ranked AS (
+  SELECT bucket, doc_id, n_chars,
+         ROW_NUMBER() OVER (
+           PARTITION BY bucket ORDER BY n_chars DESC, doc_id ASC) AS rank
+  FROM j
+)
+SELECT c.bucket, CAST(c.doc_count AS BIGINT) AS doc_count,
+       CAST(r.rank AS BIGINT) AS rank, r.doc_id,
+       CAST(r.n_chars AS BIGINT) AS n_chars
+FROM cnt c JOIN ranked r ON c.bucket = r.bucket
+WHERE r.rank <= 2
 """
 
     o["perplexity_buckets"] = r"""

@@ -336,6 +336,44 @@ def _bucket_expr(spec: dict):
     return None
 
 
+def _top_hits_fields(body: dict) -> set:
+    """Doc columns a top_hits body needs: _source fields + the sort
+    field (unless sorting on _score, which rides the hit rows)."""
+    fields = set(body.get("_source", []))
+    for s in body.get("sort", []):
+        (sf, _), = s.items()
+        if sf != "_score":
+            fields.add(sf)
+    return fields
+
+
+def _top_hits_order(body: dict):
+    """Ordering columns for a top_hits body: primary sort (default
+    _score desc; one sort field supported) + the engine's global
+    tie-break (split_id asc, doc_id asc), matching search()'s rank."""
+    sorts = body.get("sort") or [{"_score": "desc"}]
+    if len(sorts) > 1:
+        raise ValueError("top_hits: only one sort field is supported")
+    (sf, sd), = sorts[0].items()
+    col = F.col("score") if sf == "_score" else F.col(sf)
+    o = col.desc() if sd == "desc" else col.asc()
+    return [o, F.col("split_id").asc(), F.col("doc_id").asc()], sf
+
+
+def _top_hits_hit(row, body: dict) -> dict:
+    """One ES-shaped hit: {_source, sort[, _score]}."""
+    src = {f: row[f] for f in body.get("_source", [])}
+    sorts = body.get("sort") or [{"_score": "desc"}]
+    (sf, _), = sorts[0].items()
+    hit: dict = {"_source": src}
+    if sf == "_score":
+        hit["_score"] = float(row["score"])
+        hit["sort"] = [hit["_score"]]
+    else:
+        hit["sort"] = [row[sf]]
+    return hit
+
+
 def run_aggregations(
     spark: SparkSession,
     index_dir: str,
@@ -351,6 +389,10 @@ def run_aggregations(
     (collector.rs:289-353), and this is the Spark spelling of that.
     One Expand + one partial/final hash aggregation + one collect; a
     3-agg request never re-joins matches against the doc store.
+    Exception: ``top_hits`` returns document ROWS, not aggregates, so
+    it adds one bounded fetch job (rank-window group-limited to
+    `size` per bucket) after the fused pass — the same query-phase /
+    fetch-phase split ES itself makes for this agg.
 
     ``tables``: a ``Searcher.snapshot()`` to evaluate against, so a
     caller holding hits from one snapshot gets buckets from the SAME
@@ -375,11 +417,15 @@ def run_aggregations(
                     needed.update(_filter_fields(fbody))
             elif kind in _METRIC_AGGS:
                 needed.add(body["field"])
+            elif kind == "top_hits":
+                needed.update(_top_hits_fields(body))
             elif kind == "aggs":
                 for sub in body.values():
                     for k2, b2 in sub.items():
                         if k2 in _METRIC_AGGS:
                             needed.add(b2["field"])
+                        elif k2 == "top_hits":
+                            needed.update(_top_hits_fields(b2))
     docs = fetch_docs(
         spark, index_dir, matches, columns=sorted(needed), bounded=False,
         docmap=snap["docmap"],
@@ -404,6 +450,11 @@ def run_aggregations(
                     .alias(f"{i}|{fname}::fcount")
                 )
                 for sname, sspec in spec.get("aggs", {}).items():
+                    if "top_hits" in sspec:
+                        raise ValueError(
+                            "top_hits under a filters agg is not "
+                            "supported (buckets overlap)"
+                        )
                     (_, sbody), = sspec.items()
                     masked = F.when(cond, F.col(sbody["field"]))
                     agg_cols += _metric_cols(
@@ -412,7 +463,16 @@ def run_aggregations(
             need_global = True
             continue
         for sname, sspec in spec.get("aggs", {}).items():
+            if "top_hits" in sspec:
+                continue  # fetch-phase job at assembly, not an agg col
             agg_cols += _metric_cols(f"{i}|{sname}", sspec)
+        if "top_hits" in spec:
+            # top-level top_hits: total rides the global doc_count row;
+            # the (bounded) hit fetch is a separate job at assembly —
+            # the same split ES makes (aggs in the query phase,
+            # top_hits docs in the fetch phase)
+            need_global = True
+            continue
         bexpr = _bucket_expr(spec)
         if bexpr is not None:
             docs2 = docs2.withColumn(f"__b{i}", bexpr)
@@ -451,6 +511,15 @@ def run_aggregations(
             buckets[fname] = b
         return {"buckets": buckets}
 
+    def _th_global(body: dict, total: int) -> dict:
+        """Top-level top_hits: one bounded orderBy-limit job (the
+        fetch phase); ``total`` comes from the shared global row."""
+        order, _ = _top_hits_order(body)
+        size = int(body.get("size", 3))
+        rows = docs2.orderBy(*order).limit(size).collect()
+        return {"hits": {"total": {"value": total, "relation": "eq"},
+                         "hits": [_top_hits_hit(r, body) for r in rows]}}
+
     bcols = [f"__b{i}" for i in bucket_idx]
     if not bcols:
         # metric-only request: plain global aggregate (one job already)
@@ -459,6 +528,8 @@ def run_aggregations(
             name: (
                 _filters_result(i, spec, row)
                 if "filters" in spec
+                else _th_global(spec["top_hits"], int(row["doc_count"]))
+                if "top_hits" in spec
                 else _metric_result(f"{i}|{name}", spec, row)
             )
             for i, (name, spec) in enumerate(specs)
@@ -539,7 +610,18 @@ def run_aggregations(
 
     out: dict = {}
     for i, (name, spec) in enumerate(specs):
-        sub_aggs = spec.get("aggs", {})
+        # top_hits sub-specs are fetch-phase (injected below), not
+        # grouping-set metric cells
+        sub_aggs = {
+            k: v for k, v in spec.get("aggs", {}).items()
+            if "top_hits" not in v
+        }
+        if "top_hits" in spec:
+            out[name] = _th_global(
+                spec["top_hits"],
+                int(grow["doc_count"]) if grow is not None else 0,
+            )
+            continue
         if "filters" in spec:
             out[name] = _filters_result(i, spec, grow)
         elif "range" in spec:
@@ -698,6 +780,73 @@ def run_aggregations(
                 else:
                     out[name] = {"value": 0 if kind == "value_count"
                                  else None}
+
+    # ---- per-bucket top_hits injection (ES fetch phase) ----
+    # One bounded rank-window job per top_hits-bearing bucket spec:
+    # WindowGroupLimit caps per-bucket state at `size` BEFORE the
+    # window exchange, and terms specs additionally pre-filter to the
+    # response's top-N keys, so the collect is |buckets|·size rows.
+    for i, (name, spec) in enumerate(specs):
+        ths = {
+            sn: ss["top_hits"]
+            for sn, ss in spec.get("aggs", {}).items()
+            if "top_hits" in ss
+        }
+        if not ths or i not in bucket_idx:
+            continue
+        kind = next(
+            k for k in ("range", "histogram", "date_histogram", "terms")
+            if k in spec
+        )
+        if spec[kind].get("keyed"):
+            raise ValueError("top_hits with keyed buckets not supported")
+        bcol = f"__b{i}"
+        buckets = out[name]["buckets"]
+        # raw __b value -> response-bucket resolver, per bucket kind
+        if kind in ("terms", "range"):
+            def _slot(raw):
+                return raw
+            want = {b["key"]: b for b in buckets}
+        elif kind == "histogram":
+            interval = float(spec["histogram"]["interval"])
+
+            def _slot(raw):
+                return round(float(raw) / interval)
+            want = {round(b["key"] / interval): b for b in buckets}
+        else:  # date_histogram
+            step = _parse_fixed_interval(
+                spec["date_histogram"]["fixed_interval"]
+            )
+
+            def _slot(raw):
+                return int(raw) // step
+            want = {(b["key"] * 1000) // step: b for b in buckets}
+        for sname, body in ths.items():
+            order, sf = _top_hits_order(body)
+            size = int(body.get("size", 3))
+            base = docs2.filter(F.col(bcol).isNotNull())
+            if kind == "terms":
+                base = base.filter(
+                    F.col(bcol).isin([b["key"] for b in buckets])
+                )
+            w = Window.partitionBy(bcol).orderBy(*order)
+            cols = sorted(_top_hits_fields(body) | {bcol, "score"})
+            rows = (
+                base.withColumn("__rn", F.row_number().over(w))
+                .filter(F.col("__rn") <= size)
+                .select(*cols, "__rn")
+                .collect()
+            )
+            perb: dict = {}
+            for r in sorted(rows, key=lambda r: r["__rn"]):
+                perb.setdefault(_slot(r[bcol]), []).append(
+                    _top_hits_hit(r, body)
+                )
+            for slot, b in want.items():
+                b[sname] = {"hits": {
+                    "total": {"value": b["doc_count"], "relation": "eq"},
+                    "hits": perb.get(slot, []),
+                }}
     return out
 
 

@@ -1302,3 +1302,55 @@ def test_resize_images_plumbing(spark):
     assert out["a"]["width"] == 4 and out["a"]["height"] == 2
     with _pytest.raises(Exception, match="NotImplementedError|real media"):
         resize_images(df, decode="real").collect()
+
+
+def test_top_hits_aggregation(spark, built_index, oracle_index):
+    """ES top_hits: top-level and per-terms-bucket document fetch,
+    composed with the fused metric pass."""
+    from quickwit_spark.operators.aggregations import run_aggregations
+    from quickwit_spark.operators.search import SearchRequest
+
+    res = run_aggregations(
+        spark, built_index, SearchRequest(query="word"),
+        {"best": {"top_hits": {"size": 3, "sort": [{"len_text": "desc"}],
+                               "_source": ["key", "len_text"]}}},
+    )
+    th = res["best"]["hits"]
+    assert th["total"]["value"] == oracle_index.count("word")
+    hits = th["hits"]
+    assert len(hits) == 3
+    lens = [h["_source"]["len_text"] for h in hits]
+    assert lens == sorted(lens, reverse=True)
+    assert hits[0]["sort"] == [lens[0]]
+    assert set(hits[0]["_source"]) == {"key", "len_text"}
+
+    res2 = run_aggregations(
+        spark, built_index, SearchRequest(query="word"),
+        {"langs": {
+            "terms": {"field": "lang", "size": 3},
+            "aggs": {
+                "max_len": {"max": {"field": "len_text"}},
+                "top": {"top_hits": {"size": 2,
+                                     "sort": [{"len_text": "desc"}],
+                                     "_source": ["key", "len_text"]}},
+            },
+        }},
+    )
+    buckets = res2["langs"]["buckets"]
+    assert buckets
+    for b in buckets:
+        bh = b["top"]["hits"]
+        assert bh["total"]["value"] == b["doc_count"]
+        got = [h["_source"]["len_text"] for h in bh["hits"]]
+        assert len(got) == min(2, b["doc_count"])
+        # the bucket's top hit agrees with its sibling max metric
+        assert float(got[0]) == float(b["max_len"]["value"])
+        assert got == sorted(got, reverse=True)
+
+    # default sort is _score desc; _score rides the hit
+    res3 = run_aggregations(
+        spark, built_index, SearchRequest(query="word"),
+        {"top": {"top_hits": {"size": 1, "_source": ["key"]}}},
+    )
+    hit = res3["top"]["hits"]["hits"][0]
+    assert hit["_score"] > 0 and hit["sort"] == [hit["_score"]]
