@@ -1052,6 +1052,36 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["line_dedup_within"] = line_dedup_within
 
+    def fix_text_q(spark, sf_dir):
+        """ftfy-lite text fixing over docs with injected mojibake
+        (smart punctuation, control/zero-width chars, NBSP, ragged
+        whitespace - one class per doc_id%4, mirrored in the oracle)."""
+        from quickwit_spark.functions.textfix import fix_text
+
+        d = _docs(spark, sf_dir)
+        suffix = (
+            F.when(
+                F.col("doc_id") % 4 == 0,
+                F.lit("\u200b \u201csmart\u201d \u2013 dash\u2026"),
+            )
+            .when(
+                F.col("doc_id") % 4 == 1,
+                F.lit(" trailing\t\ttabs \x07bell"),
+            )
+            .when(
+                F.col("doc_id") % 4 == 2,
+                F.lit(" \u00a0nbsp\n\n\n\nmany newlines"),
+            )
+            .otherwise(F.lit(" \u2018single\u2019\u200djoin"))
+        )
+        out = fix_text(d.withColumn("text", F.concat(F.col("text"), suffix)))
+        return out.select(
+            "doc_id", "orig_len", "clean_len", "n_dropped",
+            F.md5(F.col("clean_text")).alias("clean_md5"),
+        )
+
+    q["fix_text"] = fix_text_q
+
     def top_ngrams_by_lang(spark, sf_dir):
         from quickwit_spark.functions.textstats import top_ngrams
 
@@ -2484,6 +2514,54 @@ SELECT d.doc_id, coalesce(p.n_lines, 0) AS n_lines,
        length(coalesce(p.new_text, '')) AS new_text_len,
        md5(coalesce(p.new_text, '')) AS new_text_md5
 FROM documents d LEFT JOIN per_doc p ON d.doc_id = p.doc_id
+"""
+
+    o["fix_text"] = r"""
+WITH d AS (
+  SELECT doc_id, text ||
+    CASE WHEN doc_id % 4 = 0
+         THEN chr(8203) || ' ' || chr(8220) || 'smart' || chr(8221)
+              || ' ' || chr(8211) || ' dash' || chr(8230)
+         WHEN doc_id % 4 = 1
+         THEN ' trailing' || chr(9) || chr(9) || 'tabs ' || chr(7) || 'bell'
+         WHEN doc_id % 4 = 2
+         THEN ' ' || chr(160) || 'nbsp' || repeat(chr(10), 4)
+              || 'many newlines'
+         ELSE ' ' || chr(8216) || 'single' || chr(8217) || chr(8205)
+              || 'join' END AS text2
+  FROM documents
+), fixed AS (
+  SELECT doc_id, text2,
+    trim(
+     regexp_replace(
+      regexp_replace(
+       regexp_replace(
+        regexp_replace(
+         regexp_replace(
+          regexp_replace(
+           regexp_replace(
+            regexp_replace(
+             regexp_replace(
+              regexp_replace(text2,
+                '[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]', '', 'g'),
+              '[\x{200B}-\x{200D}\x{FEFF}]', '', 'g'),
+             '\x{00A0}', ' ', 'g'),
+            '[\x{2018}\x{2019}\x{201B}]', '''', 'g'),
+           '[\x{201C}\x{201D}\x{201E}]', '"', 'g'),
+          '[\x{2013}\x{2014}]', '-', 'g'),
+         '\x{2026}', '...', 'g'),
+        '[ \t]+', ' ', 'g'),
+       ' *\n *', chr(10), 'g'),
+      '\n{3,}', chr(10) || chr(10), 'g')) AS clean,
+    regexp_replace(
+      regexp_replace(text2, '[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]', '', 'g'),
+      '[\x{200B}-\x{200D}\x{FEFF}]', '', 'g') AS dropped
+  FROM d
+)
+SELECT doc_id, length(text2) AS orig_len, length(clean) AS clean_len,
+       length(text2) - length(dropped) AS n_dropped,
+       md5(clean) AS clean_md5
+FROM fixed
 """
 
     o["line_dedup_within"] = r"""

@@ -667,3 +667,39 @@ def test_perplexity_buckets_quartiles_and_plan(spark):
     # corpus-wide rank window
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "WindowExec" not in plan and "RunningWindow" not in plan, plan
+
+
+def test_fix_text_pipeline_semantics(spark):
+    from quickwit_spark.functions.textfix import fix_text
+
+    rows = [
+        (0, "a​b c “q” – d…"),
+        (1, "bell\x07 and\ttabs  here"),
+        (2, "  lead \n  mid  \n\n\n\n trail  "),
+        (3, "‘s’‍ ok"),
+        (4, ""),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in fix_text(df).collect()}
+    assert out[0]["clean_text"] == 'ab c "q" - d...'
+    assert out[0]["n_dropped"] == 1                       # the zwsp
+    assert out[1]["clean_text"] == "bell and tabs here"
+    assert out[1]["n_dropped"] == 1                       # the bell
+    assert out[2]["clean_text"] == "lead\nmid\n\ntrail"
+    assert out[3]["clean_text"] == "'s' ok"
+    assert out[4]["clean_text"] == "" and out[4]["orig_len"] == 0
+    for r in out.values():
+        assert r["clean_len"] == len(r["clean_text"])
+
+    # idempotence: fixing fixed text is a no-op
+    again = fix_text(
+        fix_text(df).select("doc_id", F.col("clean_text").alias("text"))
+    )
+    assert {r["doc_id"]: r["clean_text"] for r in again.collect()} == {
+        k: v["clean_text"] for k, v in out.items()
+    }
+
+    # scale contract: one shuffle-free codegen projection, no Python
+    plan = fix_text(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
