@@ -62,6 +62,11 @@ def bigram_lm_score(
     """Per doc: ``n_bigrams`` and ``lm_score`` — mean add-one-smoothed
     bigram log-probability under the corpus's own bigram model,
     rounded to 3 dp (NULL when the doc has < 2 tokens)."""
+    from quickwit_spark.functions.dedup import _widen_narrow_input
+
+    # bigram explode + scoring join run at scan parallelism; widen a
+    # narrow (one-file) scan so they use the whole cluster
+    df = _widen_narrow_input(df)
     bg = _bigrams(df, text_col, id_col)
     model = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
     left_tot = model.groupBy("w1").agg(F.sum("c12").alias("c1"))

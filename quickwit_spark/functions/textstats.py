@@ -244,6 +244,13 @@ def top_ngrams(
     Output: (grp, ngram, n_occurrences, rank); ``grp`` is constant ''
     when ``group_col`` is None.
     """
+    # lazy import (dedup imports this module at load time)
+    from quickwit_spark.functions.dedup import _widen_narrow_input
+
+    # the n-gram explode runs at SCAN parallelism — a one-file input
+    # would serialize it onto one core (measured 6x on the bench
+    # corpus; same trap as the minhash map stage)
+    df = _widen_narrow_input(df)
     toks = tokens_col(F.col(text_col))
     grams = _word_ngrams(toks, n)
     grp = F.col(group_col) if group_col else F.lit("")
