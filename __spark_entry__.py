@@ -1082,6 +1082,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["fix_text"] = fix_text_q
 
+    def significant_terms_q(spark, sf_dir):
+        """Terms over-represented in docs mentioning 'table' vs the
+        rest of the corpus (exact integer cells; ranking key
+        fg/(bg+1) is ULP-safe — module docstring)."""
+        from quickwit_spark.functions.significant import significant_terms
+        from quickwit_spark.functions.textstats import tokens_col
+
+        d = _docs(spark, sf_dir)
+        fg = F.array_contains(tokens_col(F.col("text")), "table")
+        return significant_terms(d, fg, k=15)
+
+    q["significant_terms"] = significant_terms_q
+
     def top_ngrams_by_lang(spark, sf_dir):
         from quickwit_spark.functions.textstats import top_ngrams
 
@@ -2562,6 +2575,38 @@ SELECT doc_id, length(text2) AS orig_len, length(clean) AS clean_len,
        length(text2) - length(dropped) AS n_dropped,
        md5(clean) AS clean_md5
 FROM fixed
+"""
+
+    o["significant_terms"] = r"""
+WITH tk AS (
+  SELECT doc_id,
+         list_distinct(list_filter(
+             regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+             x -> x <> '')) AS toks
+  FROM documents
+), flagged AS (
+  SELECT doc_id, toks, list_contains(toks, 'table') AS fg FROM tk
+), totals AS (
+  SELECT sum(CASE WHEN fg THEN 1 ELSE 0 END) AS fg_total,
+         sum(CASE WHEN NOT fg THEN 1 ELSE 0 END) AS bg_total
+  FROM flagged
+), pairs AS (
+  SELECT fg, unnest(toks) AS term FROM flagged
+), counts AS (
+  SELECT term,
+         sum(CASE WHEN fg THEN 1 ELSE 0 END) AS fg_count,
+         sum(CASE WHEN NOT fg THEN 1 ELSE 0 END) AS bg_count
+  FROM pairs GROUP BY term
+), ranked AS (
+  SELECT term, fg_count, bg_count, t.fg_total, t.bg_total,
+         ROW_NUMBER() OVER (
+           ORDER BY CAST(fg_count AS DOUBLE) / (bg_count + 1) DESC,
+                    term ASC) AS rank
+  FROM counts CROSS JOIN totals t
+  WHERE fg_count >= 1
+)
+SELECT term, fg_count, bg_count, fg_total, bg_total, rank
+FROM ranked WHERE rank <= 15
 """
 
     o["line_dedup_within"] = r"""

@@ -703,3 +703,38 @@ def test_fix_text_pipeline_semantics(spark):
     plan = fix_text(df)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_significant_terms_ranking_and_plan(spark):
+    from quickwit_spark.functions.significant import significant_terms
+
+    rows = [
+        (0, True,  "spam casino bonus click now"),
+        (1, True,  "casino bonus free spins"),
+        (2, True,  "casino night spam offer"),
+        (3, False, "weather report for the city"),
+        (4, False, "city council meeting report"),
+        (5, False, "casino review in the news"),   # bg mention too
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, fg boolean, text string")
+    out = significant_terms(df, F.col("fg"), k=4)
+    got = [(r["term"], r["fg_count"], r["bg_count"], r["rank"])
+           for r in sorted(out.collect(), key=lambda r: r["rank"])]
+    # fg-only terms with fg_count 2 (bonus, spam) outrank casino
+    # (3 fg but 1 bg -> 3/2) and every 1-count term; ties break
+    # lexicographically
+    assert got[0] == ("bonus", 2, 0, 1)
+    assert got[1] == ("spam", 2, 0, 2)
+    assert got[2] == ("casino", 3, 1, 3)
+    assert len(got) == 4 and got[3][1] == 1
+    row = out.collect()[0]
+    assert row["fg_total"] == 3 and row["bg_total"] == 3
+    # background-only terms never appear
+    terms = {t for t, *_ in got}
+    assert "weather" not in terms
+    # the rank filter must become a bounded pre-window rewrite: either
+    # WindowGroupLimit, or (for this empty partition spec) a
+    # LocalLimit/GlobalLimit top-k sort pushed beneath the window —
+    # both cap what each map task contributes to the final sort
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    assert "WindowGroupLimit" in plan or "LocalLimit" in plan, plan
