@@ -1482,6 +1482,47 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["agg_top_hits"] = agg_top_hits
 
+    def agg_composite(spark, sf_dir):
+        """ES composite agg with keyset pagination: two 12-bucket
+        pages over (n_chars/200 histogram, len_text terms) keys —
+        page 2 driven by page 1's after_key, so the `after` filter
+        itself is under the oracle."""
+        from quickwit_spark.operators.aggregations import run_aggregations
+        from quickwit_spark.operators.search import SearchRequest
+
+        idx = _docs_index(spark, sf_dir)
+
+        def page(after):
+            comp = {
+                "size": 12,
+                "sources": [
+                    {"sz": {"histogram": {"field": "n_chars",
+                                          "interval": 200}}},
+                    {"lt": {"terms": {"field": "len_text"}}},
+                ],
+            }
+            if after is not None:
+                comp["after"] = after
+            return run_aggregations(
+                spark, idx, SearchRequest(query="the"),
+                {"c": {"composite": comp}},
+            )["c"]
+
+        p1 = page(None)
+        p2 = page(p1.get("after_key"))
+        rows = []
+        for pno, p in ((1, p1), (2, p2)):
+            for b in p["buckets"]:
+                rows.append((
+                    pno, int(b["key"]["sz"]), int(b["key"]["lt"]),
+                    int(b["doc_count"]),
+                ))
+        return spark.createDataFrame(
+            rows, "page long, sz long, len_text long, doc_count long"
+        )
+
+    q["agg_composite"] = agg_composite
+
     def agg_cardinality(spark, sf_dir):
         from quickwit_spark.operators.aggregations import _metric_cols
         from quickwit_spark.operators.search import (
@@ -2575,6 +2616,30 @@ SELECT doc_id, length(text2) AS orig_len, length(clean) AS clean_len,
        length(text2) - length(dropped) AS n_dropped,
        md5(clean) AS clean_md5
 FROM fixed
+"""
+
+    o["agg_composite"] = _with(_TOKS_CTE) + """
+, m AS (SELECT DISTINCT doc_id FROM toks WHERE term = 'the')
+, doclen AS (
+  SELECT b.doc_id, count(t.term) AS dl
+  FROM base b LEFT JOIN toks t ON b.doc_id = t.doc_id
+  GROUP BY b.doc_id
+), j AS (
+  SELECT CAST(floor(d.n_chars / 200.0) * 200 AS BIGINT) AS sz,
+         dl.dl AS len_text
+  FROM documents d
+  JOIN m ON d.doc_id = m.doc_id
+  JOIN doclen dl ON d.doc_id = dl.doc_id
+), g AS (
+  SELECT sz, len_text, count(*) AS doc_count FROM j GROUP BY sz, len_text
+), o AS (
+  SELECT *, ROW_NUMBER() OVER (ORDER BY sz ASC, len_text ASC) AS rn
+  FROM g
+)
+SELECT CASE WHEN rn <= 12 THEN 1 ELSE 2 END AS page,
+       sz, CAST(len_text AS BIGINT) AS len_text,
+       CAST(doc_count AS BIGINT) AS doc_count
+FROM o WHERE rn <= 24
 """
 
     o["significant_terms"] = r"""

@@ -412,6 +412,11 @@ def run_aggregations(
         for kind, body in spec.items():
             if kind in ("range", "histogram", "date_histogram", "terms"):
                 needed.add(body["field"])
+            elif kind == "composite":
+                for src in body["sources"]:
+                    (_, sdef), = src.items()
+                    (_, sbody), = sdef.items()
+                    needed.add(sbody["field"])
             elif kind == "filters":
                 for fbody in body["filters"].values():
                     needed.update(_filter_fields(fbody))
@@ -439,6 +444,11 @@ def run_aggregations(
     need_global = False
     docs2 = docs
     for i, (name, spec) in enumerate(specs):
+        if "composite" in spec:
+            # composite paginates high-cardinality buckets: its own
+            # bounded job (one hash agg + TakeOrdered) at assembly —
+            # ES also evaluates composite separately from sibling aggs
+            continue
         if "filters" in spec:
             # docs may match SEVERAL named filters, so these are not
             # grouping keys: each bucket is a conditional count (plus
@@ -520,14 +530,86 @@ def run_aggregations(
         return {"hits": {"total": {"value": total, "relation": "eq"},
                          "hits": [_top_hits_hit(r, body) for r in rows]}}
 
+    def _composite_result(spec: dict) -> dict:
+        """ES composite agg: multi-source bucket keys, keyset (`after`)
+        pagination. One hash aggregation on the source tuple + a
+        TakeOrdered of `size` rows — Spark's sort-limit does map-side
+        partial top-N, so the driver never sees the full bucket
+        cardinality (the entire point of composite at 10^12 rows)."""
+        body = spec["composite"]
+        size = int(body.get("size", 10))
+        srcs = []
+        for src in body["sources"]:
+            (sname, sdef), = src.items()
+            (skind, sbody), = sdef.items()
+            if skind == "terms":
+                col = F.col(sbody["field"])
+            elif skind == "histogram":
+                interval = float(sbody["interval"])
+                col = (
+                    F.floor(
+                        F.col(sbody["field"]).cast("double")
+                        / F.lit(interval)
+                    )
+                    * F.lit(interval)
+                )
+            else:
+                raise ValueError(
+                    f"composite source kind {skind!r} not supported"
+                )
+            srcs.append((sname, col))
+        base = docs2
+        for sname, col in srcs:
+            base = base.withColumn(f"__c_{sname}", col)
+        ccols = [f"__c_{s}" for s, _ in srcs]
+        for c in ccols:
+            # ES drops docs missing any source (no missing_bucket)
+            base = base.filter(F.col(c).isNotNull())
+        aggexprs = [F.count(F.lit(1)).alias("doc_count")]
+        for mname, mspec in spec.get("aggs", {}).items():
+            aggexprs += _metric_cols(f"c|{mname}", mspec)
+        grouped = base.groupBy(*ccols).agg(*aggexprs)
+        after = body.get("after")
+        if after:
+            conds = []
+            prev_eq = F.lit(True)
+            for (sname, _), c in zip(srcs, ccols):
+                a = F.lit(after[sname])
+                conds.append(prev_eq & (F.col(c) > a))
+                prev_eq = prev_eq & (F.col(c) == a)
+            grouped = grouped.filter(
+                functools.reduce(_op.or_, conds)
+            )
+        rows = (
+            grouped.orderBy(*[F.col(c).asc() for c in ccols])
+            .limit(size)
+            .collect()
+        )
+        buckets = []
+        for r in rows:
+            key = {s: r[c] for (s, _), c in zip(srcs, ccols)}
+            b = {"key": key, "doc_count": int(r["doc_count"])}
+            for mname, mspec in spec.get("aggs", {}).items():
+                b[mname] = _metric_result(f"c|{mname}", mspec, r)
+            buckets.append(b)
+        res: dict = {"buckets": buckets}
+        if buckets:
+            res["after_key"] = dict(buckets[-1]["key"])
+        return res
+
     bcols = [f"__b{i}" for i in bucket_idx]
     if not bcols:
-        # metric-only request: plain global aggregate (one job already)
-        row = docs2.agg(*agg_cols).collect()[0]
+        # metric-only request: plain global aggregate (one job already;
+        # skipped entirely when every spec is composite/top-hits-free)
+        row = None
+        if any("composite" not in s for _, s in specs):
+            row = docs2.agg(*agg_cols).collect()[0]
         return {
             name: (
                 _filters_result(i, spec, row)
                 if "filters" in spec
+                else _composite_result(spec)
+                if "composite" in spec
                 else _th_global(spec["top_hits"], int(row["doc_count"]))
                 if "top_hits" in spec
                 else _metric_result(f"{i}|{name}", spec, row)
@@ -616,6 +698,9 @@ def run_aggregations(
             k: v for k, v in spec.get("aggs", {}).items()
             if "top_hits" not in v
         }
+        if "composite" in spec:
+            out[name] = _composite_result(spec)
+            continue
         if "top_hits" in spec:
             out[name] = _th_global(
                 spec["top_hits"],

@@ -1354,3 +1354,57 @@ def test_top_hits_aggregation(spark, built_index, oracle_index):
     )
     hit = res3["top"]["hits"]["hits"][0]
     assert hit["_score"] > 0 and hit["sort"] == [hit["_score"]]
+
+
+def test_composite_aggregation_pagination(spark, built_index, oracle_index):
+    """ES composite agg: multi-source keys, keyset pagination walks
+    the FULL bucket space exactly once, sub-metrics per bucket."""
+    from quickwit_spark.operators.aggregations import run_aggregations
+    from quickwit_spark.operators.search import SearchRequest
+
+    spec = {
+        "comp": {
+            "composite": {
+                "size": 3,
+                "sources": [
+                    {"lang": {"terms": {"field": "lang"}}},
+                    {"len": {"histogram": {"field": "len_text",
+                                           "interval": 50}}},
+                ],
+            },
+            "aggs": {"m": {"max": {"field": "len_text"}}},
+        }
+    }
+    walked, after, pages = [], None, 0
+    while True:
+        body = {"comp": {"composite": dict(spec["comp"]["composite"]),
+                         "aggs": spec["comp"]["aggs"]}}
+        if after is not None:
+            body["comp"]["composite"]["after"] = after
+        res = run_aggregations(
+            spark, built_index, SearchRequest(query="word"), body
+        )["comp"]
+        if not res["buckets"]:
+            break
+        pages += 1
+        walked.extend(res["buckets"])
+        assert len(res["buckets"]) <= 3
+        assert res["after_key"] == res["buckets"][-1]["key"]
+        after = res["after_key"]
+        assert pages < 50
+    # every bucket exactly once, in (lang, len) lexicographic order
+    keys = [(b["key"]["lang"], b["key"]["len"]) for b in walked]
+    assert keys == sorted(keys) and len(keys) == len(set(keys))
+    # totals match a plain one-shot aggregation of the same matches
+    one = run_aggregations(
+        spark, built_index, SearchRequest(query="word"),
+        {"langs": {"terms": {"field": "lang", "size": 100}}},
+    )["langs"]["buckets"]
+    per_lang = {}
+    for b in walked:
+        per_lang[b["key"]["lang"]] = (
+            per_lang.get(b["key"]["lang"], 0) + b["doc_count"]
+        )
+        # sub-metric: max len_text within the bucket's histogram cell
+        assert b["key"]["len"] <= b["m"]["value"] < b["key"]["len"] + 50
+    assert per_lang == {b["key"]: b["doc_count"] for b in one}
