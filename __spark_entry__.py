@@ -1523,6 +1523,38 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["agg_composite"] = agg_composite
 
+    def search_after_keyset(spark, sf_dir):
+        """ES search_after on the exact-int fast-field sort lane:
+        page 1 = top-15 by n_chars desc, page 2 = the next 15 via the
+        (sort_long, split_id, doc_id) cursor from page 1's last hit —
+        integer cursor comparisons, no float boundary sensitivity."""
+        from quickwit_spark.operators.search import (
+            SearchRequest,
+            search_after_df,
+            search_df,
+        )
+
+        from quickwit_spark.operators.search import fetch_docs
+
+        idx = _docs_index(spark, sf_dir)
+        req = SearchRequest(query="the", k=15, sort_field="n_chars")
+        p1 = search_df(spark, idx, req)
+        last = p1.collect()[-1]
+        p2 = search_after_df(
+            spark, idx, req,
+            (last["sort_long"], last["split_id"], last["doc_id"]),
+        )
+        rows = []
+        for pno, page in ((1, p1), (2, p2)):
+            fetched = fetch_docs(spark, idx, page, columns=["key"])
+            for r in fetched.collect():
+                rows.append((pno, int(r["key"]), int(r["sort_long"])))
+        return spark.createDataFrame(
+            rows, "page long, doc_id long, n_chars long"
+        )
+
+    q["search_after_keyset"] = search_after_keyset
+
     def agg_cardinality(spark, sf_dir):
         from quickwit_spark.operators.aggregations import _metric_cols
         from quickwit_spark.operators.search import (
@@ -2640,6 +2672,18 @@ SELECT CASE WHEN rn <= 12 THEN 1 ELSE 2 END AS page,
        sz, CAST(len_text AS BIGINT) AS len_text,
        CAST(doc_count AS BIGINT) AS doc_count
 FROM o WHERE rn <= 24
+"""
+
+    o["search_after_keyset"] = _with(_TOKS_CTE) + """
+, m AS (SELECT DISTINCT doc_id FROM toks WHERE term = 'the')
+, ranked AS (
+  SELECT d.doc_id, d.n_chars,
+         ROW_NUMBER() OVER (ORDER BY d.n_chars DESC, d.doc_id ASC) AS rn
+  FROM documents d JOIN m ON d.doc_id = m.doc_id
+)
+SELECT CASE WHEN rn <= 15 THEN 1 ELSE 2 END AS page,
+       doc_id, CAST(n_chars AS BIGINT) AS n_chars
+FROM ranked WHERE rn <= 30
 """
 
     o["significant_terms"] = r"""

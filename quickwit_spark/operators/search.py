@@ -419,6 +419,58 @@ def search_df(
     return limited
 
 
+def search_after_df(
+    spark: SparkSession,
+    index_dir: str,
+    req: SearchRequest,
+    cursor: tuple,
+    tables: dict | None = None,
+) -> DataFrame:
+    """ES-style ``search_after`` keyset pagination: the next ``req.k``
+    hits strictly AFTER ``cursor`` in global rank order.
+
+    ``cursor`` is ``(value, split_id, doc_id)`` — the last hit of the
+    previous page in the request's sort mode: the raw float64 BM25
+    score on the default path, the exact int64 fast-field value when
+    ``req.sort_field`` is set (ints make the cursor comparison exact;
+    prefer that mode for deep, resumable exports).
+
+    Versus offset pagination (re-fetch offset+k rows, fold offset at
+    the merge): the cursor filter applies per split BEFORE the global
+    merge, so page depth adds nothing to the exchange — but the
+    evaluation takes the exact all-matches path, because a cursor can
+    sit at any rank and block-max top-k pruning could drop
+    post-cursor docs (the same trade ES makes for scored
+    search_after). ``req.offset`` is ignored — the cursor IS the
+    offset.
+    """
+    v, sp, d = cursor
+    hits, _, _ = _evaluate(
+        spark, index_dir, req, emit_all=True, tables=tables
+    )
+    if hits is None:
+        return spark.createDataFrame(
+            [], "split_id int, doc_id long, score double, sort_long long"
+        )
+    asc = req.sort_asc and req.sort_field is not None
+    sort_col = (
+        F.col("sort_long") if req.sort_field is not None else F.col("score")
+    )
+    lit_v = F.lit(v)
+    primary_after = (sort_col > lit_v) if asc else (sort_col < lit_v)
+    tie = (sort_col == lit_v) & (
+        (F.col("split_id") > F.lit(sp))
+        | ((F.col("split_id") == F.lit(sp)) & (F.col("doc_id") > F.lit(d)))
+    )
+    score_order = sort_col.asc() if asc else sort_col.desc()
+    return (
+        hits.select("split_id", "doc_id", "score", "sort_long")
+        .filter(primary_after | tie)
+        .orderBy(score_order, F.col("split_id").asc(), F.col("doc_id").asc())
+        .limit(req.k)
+    )
+
+
 def count_hits(spark: SparkSession, index_dir: str, req: SearchRequest) -> int:
     """Exact num_hits (collector.rs:189 semantics)."""
     hits, _, _ = _evaluate(

@@ -66,6 +66,7 @@ _KNOWN_PARAMS = frozenset(
         "format",
         "sortByField",
         "aggregations",
+        "searchAfter",
     }
 )
 
@@ -124,6 +125,19 @@ def parse_search_params(params: dict) -> dict:
         if not isinstance(aggs, dict):
             raise BadRequest("aggregations must be a JSON object")
         out["_aggregations"] = aggs
+    if "searchAfter" in params:
+        sa = params["searchAfter"]
+        if isinstance(sa, str):  # GET query-string form
+            try:
+                sa = json.loads(sa)
+            except json.JSONDecodeError as e:
+                raise BadRequest(f"invalid searchAfter JSON: {e}") from e
+        if not (isinstance(sa, (list, tuple)) and len(sa) == 3):
+            raise BadRequest(
+                "searchAfter must be [sort_value, split_id, doc_id] — "
+                "the `sort` of the previous page's last hit"
+            )
+        out["_search_after"] = tuple(sa)
     fmt = str(params.get("format", "json"))
     if fmt not in ("json", "prettyjson", "pretty_json"):
         raise BadRequest(f"unknown format: {fmt}")
@@ -279,6 +293,7 @@ def search_endpoint(
     kwargs = parse_search_params(params)
     kwargs.pop("_format", None)
     aggs = kwargs.pop("_aggregations", None)
+    search_after = kwargs.pop("_search_after", None)
     t0 = time.time()
     req = SearchRequest(**kwargs)
     # one evaluation pass yields both the page of hits and the exact
@@ -286,7 +301,22 @@ def search_endpoint(
     from quickwit_spark.operators.search import get_searcher
 
     snap = get_searcher(spark, index_dir).snapshot()
-    hit_rows, num_hits = search_with_count(spark, index_dir, req, tables=snap)
+    if search_after is not None:
+        # keyset page: hits strictly after the cursor; the exact
+        # total still comes from the count path on the same snapshot
+        from quickwit_spark.operators.search import (
+            count_hits,
+            search_after_df,
+        )
+
+        hit_rows = search_after_df(
+            spark, index_dir, req, search_after, tables=snap
+        ).collect()
+        num_hits = count_hits(spark, index_dir, req)
+    else:
+        hit_rows, num_hits = search_with_count(
+            spark, index_dir, req, tables=snap
+        )
     hits_df = spark.createDataFrame(
         hit_rows, "split_id int, doc_id long, score double, sort_long long"
     )
@@ -318,6 +348,14 @@ def search_endpoint(
     hit_docs = []
     for r in docs:
         d = r.asDict()
+        # the cursor for searchAfter: [sort_value, split_id, doc_id]
+        # of this hit (sort_long on the fast-field path, raw score
+        # otherwise) — feed the LAST hit's sort back verbatim
+        sort_val = (
+            d.get("sort_long") if req.sort_field is not None
+            else d.get("score")
+        )
+        cursor = [sort_val, d.get("split_id"), d.get("doc_id")]
         d.pop("split_id", None)
         d.pop("doc_id", None)
         d.pop("sort_long", None)
@@ -326,6 +364,7 @@ def search_endpoint(
             for k, v in d.items()
             if not (k.startswith("len_") or k.startswith("norm_"))
         }
+        doc["sort"] = cursor
         hit_docs.append(doc)
     resp = {
         "num_hits": num_hits,

@@ -416,3 +416,41 @@ def test_mapside_encode_bit_identical_to_shuffle(
         out[mode] = sorted(tuple(r) for r in rows)
     assert out["shuffle"] == out["mapside"]
     assert len(out["mapside"]) > 100
+
+
+def test_search_after_walk_equals_full_ranking(spark, built_index):
+    """Keyset pagination: walking pages with search_after reproduces
+    the one-shot ranking exactly, on both the BM25-score path and the
+    exact-int fast-field path."""
+    from quickwit_spark.operators.search import (
+        SearchRequest,
+        search_after_df,
+        search_df,
+    )
+
+    for sort_field in (None, "warc_ts"):
+        req_all = SearchRequest(query="word", k=10000, sort_field=sort_field)
+        full = search_df(spark, built_index, req_all).collect()
+        assert 12 < len(full) < 10000  # every match captured
+        key = "score" if sort_field is None else "sort_long"
+
+        walked = []
+        req = SearchRequest(query="word", k=5, sort_field=sort_field)
+        cursor = None
+        while True:
+            page = (
+                search_df(spark, built_index, req).collect()
+                if cursor is None
+                else search_after_df(
+                    spark, built_index, req, cursor
+                ).collect()
+            )
+            if not page:
+                break
+            walked.extend(page)
+            last = page[-1]
+            cursor = (last[key], last["split_id"], last["doc_id"])
+            assert len(walked) <= len(full) + 5
+        got = [(r["split_id"], r["doc_id"], r[key]) for r in walked]
+        want = [(r["split_id"], r["doc_id"], r[key]) for r in full]
+        assert got == want, sort_field

@@ -332,3 +332,30 @@ def test_stream_null_and_float_fast_fields_rejected(spark, tmp_path_factory):
         spark, index_dir, {"query": "one", "fastField": "f"}
     )
     assert body == b"1.5\n" and ctype == "text/csv"
+
+
+def test_search_after_rest_walk(server):
+    """REST keyset pagination: each hit carries its `sort` cursor;
+    feeding the last hit's cursor back via searchAfter yields the
+    next disjoint page in the same global order."""
+    port, index_id = server
+    q = urllib.parse.quote
+    base = f"/api/v1/{index_id}/search?query=word&maxHits=4"
+    st, p1 = _get(port, base + "&sortByField=-warc_ts")
+    assert st == 200 and len(p1["hits"]) == 4
+    assert all(len(h["sort"]) == 3 for h in p1["hits"])
+    cursor = p1["hits"][-1]["sort"]
+    st, p2 = _get(
+        port,
+        base + "&sortByField=-warc_ts&searchAfter=" + q(json.dumps(cursor)),
+    )
+    assert st == 200 and len(p2["hits"]) == 4
+    # disjoint pages, continuing order (warc_ts desc)
+    urls1 = {h["key"] for h in p1["hits"]}
+    urls2 = {h["key"] for h in p2["hits"]}
+    assert not urls1 & urls2
+    assert p1["hits"][-1]["sort"][0] >= p2["hits"][0]["sort"][0]
+    assert p2["num_hits"] == p1["num_hits"]
+    # malformed cursor -> 400
+    st, err = _get(port, base + "&searchAfter=%5B1%5D")
+    assert st == 400
