@@ -350,6 +350,115 @@ def cmd_gc(args) -> int:
     return 0
 
 
+_CURATE_STEPS = (
+    "fix_text", "c4_clean", "gopher", "line_dedup", "line_dedup_within",
+    "pii", "dedup_exact", "quality",
+)
+
+
+def cmd_curate(args) -> int:
+    """Run a declarative curation pipeline over a document table:
+    ``--steps`` names a comma-separated chain from the functions/
+    tier; text-rewriting steps replace the text column, gate steps
+    drop rows. Emits the curated parquet plus one JSON report line
+    with per-step doc counts (each count materializes that stage —
+    the price of the report; the transforms themselves stay lazy
+    within a step)."""
+    from pyspark.sql import functions as F
+
+    spark = get_spark("qw-curate")
+    reader = spark.read
+    df = (
+        reader.json(args.input) if args.input.endswith((".json", ".jsonl"))
+        else reader.parquet(args.input)
+    )
+    id_col, text_col = args.id_col, args.text_col
+    steps = [s.strip() for s in args.steps.split(",") if s.strip()]
+    unknown = [s for s in steps if s not in _CURATE_STEPS]
+    if unknown:
+        print(f"unknown curate steps: {unknown}; known: {list(_CURATE_STEPS)}",
+              file=sys.stderr)
+        return 2
+
+    def replace_text(cur, new, col):
+        sel = new.select(
+            F.col("doc_id").alias(id_col), F.col(col).alias("__nt")
+        )
+        return (
+            cur.drop(text_col)
+            .join(sel, id_col)
+            .withColumnRenamed("__nt", text_col)
+        )
+
+    def keep_ids(cur, ids):
+        return cur.join(
+            ids.select(F.col(ids.columns[0]).alias(id_col)), id_col
+        )
+
+    report = []
+    for step in steps:
+        n_in = df.count()
+        if step == "fix_text":
+            from quickwit_spark.functions.textfix import fix_text
+
+            df = replace_text(
+                df, fix_text(df, text_col, id_col), "clean_text"
+            )
+        elif step == "c4_clean":
+            from quickwit_spark.functions.webclean import c4_clean
+
+            out = c4_clean(
+                df, text_col, id_col, min_words=args.c4_min_words
+            ).filter("kept = 1")
+            df = replace_text(df, out, "clean_text")
+        elif step == "gopher":
+            from quickwit_spark.functions.gopher import gopher_rules
+
+            g = gopher_rules(
+                df, text_col, id_col, min_words=args.gopher_min_words
+            )
+            df = keep_ids(df, g.filter("keep = 1").select("doc_id"))
+        elif step == "line_dedup":
+            from quickwit_spark.functions.linededup import dedup_lines
+
+            out = dedup_lines(df, text_col, id_col).filter("new_text != ''")
+            df = replace_text(df, out, "new_text")
+        elif step == "line_dedup_within":
+            from quickwit_spark.functions.linededup import (
+                dedup_lines_within,
+            )
+
+            df = replace_text(
+                df, dedup_lines_within(df, text_col, id_col), "new_text"
+            )
+        elif step == "pii":
+            from quickwit_spark.functions.pii import with_pii_scrub
+
+            scrubbed = with_pii_scrub(df, text_col).select(
+                F.col(id_col).alias("doc_id"), "scrubbed"
+            )
+            df = replace_text(df, scrubbed, "scrubbed")
+        elif step == "dedup_exact":
+            from quickwit_spark.functions.dedup import exact_dup_groups
+
+            g = exact_dup_groups(df, text_col, key_col=id_col)
+            df = keep_ids(df, g.filter("is_canonical").select("key"))
+        elif step == "quality":
+            from quickwit_spark.functions.quality_clf import (
+                quality_classifier,
+            )
+
+            s = quality_classifier(df, text_col, id_col)
+            df = keep_ids(df, s.filter("keep = 1").select("doc_id"))
+        report.append(
+            {"step": step, "docs_in": n_in, "docs_out": df.count()}
+        )
+
+    df.write.mode("overwrite").parquet(args.output)
+    print(json.dumps({"steps": report, "output": args.output}))
+    return 0
+
+
 def cmd_serve(args) -> int:
     """REST searcher (reference `quickwit service run searcher`,
     default port 7280)."""
@@ -448,6 +557,23 @@ def main(argv: list[str] | None = None) -> int:
     c.add_argument("--port", type=int, default=7280)
     c.add_argument("--host", default="127.0.0.1")
     c.set_defaults(fn=cmd_serve)
+
+    c = sub.add_parser(
+        "curate",
+        help="run a curation pipeline (clean/dedup/quality) over docs",
+    )
+    c.add_argument("--input", required=True, help="parquet or jsonl path")
+    c.add_argument("--output", required=True, help="curated parquet dir")
+    c.add_argument(
+        "--steps",
+        default="fix_text,gopher,c4_clean,line_dedup,dedup_exact,quality",
+        help=f"comma-separated from {','.join(_CURATE_STEPS)}",
+    )
+    c.add_argument("--id-col", default="doc_id")
+    c.add_argument("--text-col", default="text")
+    c.add_argument("--c4-min-words", type=int, default=5)
+    c.add_argument("--gopher-min-words", type=int, default=50)
+    c.set_defaults(fn=cmd_curate)
 
     c = sub.add_parser("gc", help="garbage-collect retired splits")
     c.add_argument("--index", required=True)

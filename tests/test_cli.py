@@ -293,3 +293,46 @@ def test_descriptive_stats_hand_computed():
     one = _descriptive_stats([7])
     assert one["quantiles"]["p50"] == 7.0 and one["std"] == 0.0
     assert _descriptive_stats([]) is None
+
+
+def test_cli_curate_pipeline(spark, tmp_path, capsys):
+    """`curate` chains cleaning/dedup/quality steps and reports
+    per-step doc counts; the curated parquet round-trips."""
+    import pandas as pd
+
+    rows = []
+    for i in range(40):
+        if i % 10 == 0:
+            text = "shared boilerplate page exactly duplicated"
+        else:
+            text = (
+                "the quick brown fox document number %d with words "
+                "the and of to a in is it that was for on are with "
+                "as they be at this have from or had by word lines "
+                "repeated across the corpus body text" % i
+            )
+        rows.append({"doc_id": i, "text": text})
+    src = str(tmp_path / "docs.parquet")
+    out = str(tmp_path / "curated")
+    spark.createDataFrame(pd.DataFrame(rows)).write.parquet(src)
+
+    report = _run(
+        capsys, "curate", "--input", src, "--output", out,
+        "--steps", "fix_text,gopher,dedup_exact,quality",
+        "--gopher-min-words", "20",
+    )
+    steps = {s["step"]: s for s in report["steps"]}
+    assert steps["fix_text"]["docs_out"] == 40
+    # gopher (min_words=20) drops the 5-word boilerplate docs but one
+    # copy survives nothing -> all 4 dups are short: dropped there
+    assert steps["gopher"]["docs_out"] == 36
+    assert steps["dedup_exact"]["docs_out"] == 36  # all unique now
+    assert steps["quality"]["docs_out"] <= 36
+    got = spark.read.parquet(out)
+    assert got.count() == report["steps"][-1]["docs_out"]
+    assert {"doc_id", "text"} <= set(got.columns)
+
+    # unknown step -> usage error, nothing written
+    assert cli.main(
+        ["curate", "--input", src, "--output", out, "--steps", "nope"]
+    ) == 2
