@@ -1555,6 +1555,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["search_after_keyset"] = search_after_keyset
 
+    def highlight_fragments(spark, sf_dir):
+        """ES-style highlight fragments over the documents table for
+        the terms (table, data): ±5-token window around the first
+        match, matches tagged — verified via length+md5 (multi-space
+        originals collapse in the piece join, mirrored in SQL)."""
+        from quickwit_spark.operators.search import with_highlight
+
+        out = with_highlight(
+            _docs(spark, sf_dir), ["table", "data"], window=5
+        )
+        return out.select(
+            "doc_id",
+            F.length("highlight").alias("hl_len"),
+            F.md5(F.coalesce(F.col("highlight"), F.lit(""))).alias("hl_md5"),
+        )
+
+    q["highlight_fragments"] = highlight_fragments
+
     def agg_cardinality(spark, sf_dir):
         from quickwit_spark.operators.aggregations import _metric_cols
         from quickwit_spark.operators.search import (
@@ -2672,6 +2690,34 @@ SELECT CASE WHEN rn <= 12 THEN 1 ELSE 2 END AS page,
        sz, CAST(len_text AS BIGINT) AS len_text,
        CAST(doc_count AS BIGINT) AS doc_count
 FROM o WHERE rn <= 24
+"""
+
+    o["highlight_fragments"] = r"""
+WITH marked AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(
+           regexp_replace(text, '(?i)\b(table|data)\b',
+                          '<em>\1</em>', 'g'), '\s+'),
+           x -> x <> '') AS pieces
+  FROM documents
+), firsts AS (
+  SELECT doc_id, pieces,
+         (SELECT min(i.i)
+          FROM UNNEST(generate_series(1, len(pieces))) AS i(i)
+          WHERE contains(pieces[i.i], '<em>')) AS first
+  FROM marked
+), frag AS (
+  SELECT doc_id,
+         CASE WHEN first IS NULL THEN NULL
+              ELSE array_to_string(
+                pieces[greatest(first - 5, 1) : greatest(first - 5, 1) + 10],
+                ' ')
+         END AS highlight
+  FROM firsts
+)
+SELECT doc_id, length(highlight) AS hl_len,
+       md5(coalesce(highlight, '')) AS hl_md5
+FROM frag
 """
 
     o["search_after_keyset"] = _with(_TOKS_CTE) + """

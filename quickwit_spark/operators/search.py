@@ -471,6 +471,78 @@ def search_after_df(
     )
 
 
+def highlight_terms(
+    config,
+    query: str,
+    search_fields: tuple[str, ...] | None = None,
+    field: str | None = None,
+) -> list[str]:
+    """The analyzed POSITIVE terms of a query (must + should leaves,
+    phrase words included; must_not excluded) — what a highlighter
+    marks. ``field`` restricts to leaves bound to that field."""
+    from quickwit_spark.plans.parser import Bool, PhraseQ, TermQ
+
+    node = resolve_query(parse_query(query), config, search_fields)
+    out: list[str] = []
+
+    def walk(n):
+        if isinstance(n, TermQ):
+            if field is None or n.field == field:
+                out.append(n.term)
+        elif isinstance(n, PhraseQ):
+            if field is None or n.field == field:
+                out.extend(n.terms)
+        elif isinstance(n, Bool):
+            for c in n.must + n.should:
+                walk(c)
+
+    walk(node)
+    return list(dict.fromkeys(out))
+
+
+def with_highlight(
+    df: DataFrame,
+    terms: list[str],
+    text_col: str = "text",
+    window: int = 5,
+    pre_tag: str = "<em>",
+    post_tag: str = "</em>",
+) -> DataFrame:
+    """Add a ``highlight`` column: a ±``window``-token fragment of the
+    ORIGINAL (cased) text around the first occurrence of any analyzed
+    query term, matches wrapped in the tags; NULL when no term occurs
+    in the field (ES returns no highlight for such hits).
+
+    Implementation is pure codegen string expressions — one
+    shuffle-free projection, run over the ALREADY-FETCHED hit rows
+    (bounded k on the top-k path), never over the corpus. Terms come
+    from the analyzer (lowercase \\p{L}\\p{N} runs), so the
+    case-insensitive word-boundary alternation needs no escaping;
+    the fragment window is whitespace-token based, so tags are never
+    cut mid-piece.
+    """
+    if not terms:
+        return df.withColumn("highlight", F.lit(None).cast("string"))
+    pat = r"(?i)\b(" + "|".join(terms) + r")\b"
+    marked = F.regexp_replace(F.col(text_col), pat, pre_tag + "$1" + post_tag)
+    pieces = F.filter(F.split(marked, r"\s+"), lambda p: p != "")
+    idxs = F.filter(
+        F.transform(
+            pieces,
+            lambda p, i: F.when(
+                p.contains(F.lit(pre_tag)), i + 1
+            ).otherwise(F.lit(-1)),
+        ),
+        lambda x: x != -1,
+    )
+    first = F.try_element_at(idxs, F.lit(1))
+    start = F.greatest(first - window, F.lit(1))
+    frag = F.array_join(F.slice(pieces, start, 2 * window + 1), " ")
+    return df.withColumn(
+        "highlight", F.when(first.isNotNull(), frag)
+    )
+
+
 def count_hits(spark: SparkSession, index_dir: str, req: SearchRequest) -> int:
     """Exact num_hits (collector.rs:189 semantics)."""
     hits, _, _ = _evaluate(
@@ -585,13 +657,37 @@ def search(
     index_dir: str,
     query: str,
     k: int = 20,
+    highlight: bool = False,
     **kwargs,
 ) -> DataFrame:
-    """Convenience: top-k search with materialized doc keys."""
+    """Convenience: top-k search with materialized doc keys.
+    ``highlight=True`` adds an ES-style ``highlight`` fragment column
+    over the first default search field (NULL for hits whose match
+    came from another field)."""
     req = SearchRequest(query=query, k=k, **kwargs)
     snap = get_searcher(spark, index_dir).snapshot()
     hits = search_df(spark, index_dir, req, tables=snap)
     out = fetch_docs(spark, index_dir, hits, docmap=snap["docmap"])
+    if highlight:
+        config = open_metastore(index_dir).config()
+        fld = (req.search_fields or config.default_search_fields)[0]
+        # ES highlights from the stored document: use the raw column
+        # when the docmap carries it, else pull the field out of the
+        # stored `_source` JSON (store_source=true)
+        if fld in out.columns:
+            txt = F.col(fld)
+        elif "_source" in out.columns:
+            txt = F.get_json_object(F.col("_source"), f"$.{fld}")
+        else:
+            raise ValueError(
+                f"highlight needs the {fld!r} field stored — build the "
+                "index with store_source=true (or a stored column)"
+            )
+        out = with_highlight(
+            out.withColumn("__hl_text", txt),
+            highlight_terms(config, query, req.search_fields, field=fld),
+            text_col="__hl_text",
+        ).drop("__hl_text")
     # rank on the exact int64 fast-field lane when sorting by a fast
     # field — the float64 `score` copy loses precision above 2^53 and
     # could disagree with the engine ranking search_df just computed

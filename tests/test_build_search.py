@@ -454,3 +454,55 @@ def test_search_after_walk_equals_full_ranking(spark, built_index):
         got = [(r["split_id"], r["doc_id"], r[key]) for r in walked]
         want = [(r["split_id"], r["doc_id"], r[key]) for r in full]
         assert got == want, sort_field
+
+
+def test_search_highlight_fragments(spark, corpus_rows, tmp_path_factory):
+    """ES-style highlight: fragment around the first match with <em>
+    tags over the ORIGINAL cased text (read back from the stored
+    _source, like ES); NULL when the term is absent; phrase words all
+    marked; clear error when nothing is stored."""
+    import pandas as pd
+
+    from quickwit_spark.operators.build import build_index
+    from quickwit_spark.operators.search import (
+        highlight_terms,
+        search,
+        with_highlight,
+    )
+    from quickwit_spark.plans.config import webpages_config
+
+    index_dir = str(tmp_path_factory.mktemp("hl") / "idx")
+    cfg = webpages_config(store_source=True)
+    df = spark.createDataFrame(pd.DataFrame(corpus_rows[:100]))
+    build_index(spark, df, index_dir, cfg, num_splits=2)
+
+    rows = search(spark, index_dir, "word hot", k=8, highlight=True).collect()
+    assert rows
+    by_url = {r["key"]: r for r in rows}
+    texts = {r["url"]: r["text"] for r in corpus_rows[:100]}
+    for url, r in by_url.items():
+        h = r["highlight"]
+        assert h is not None and "<em>" in h and "</em>" in h
+        marked = h.replace("<em>", "").replace("</em>", "")
+        assert marked in texts[url]                  # true fragment
+
+    # explicit API: no-match docs get NULL; original casing kept
+    df2 = spark.createDataFrame(
+        [(0, "The Word appears here early then more text follows"),
+         (1, "nothing relevant at all")],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r["highlight"]
+           for r in with_highlight(df2, ["word"], window=2).collect()}
+    assert got[0] == "The <em>Word</em> appears here early"
+    assert got[1] is None
+    # phrase queries highlight each word; must_not terms excluded
+    assert highlight_terms(cfg, '"of the" -hot', field="text") == ["of", "the"]
+
+    # un-stored field -> loud error
+    bare = str(tmp_path_factory.mktemp("hl2") / "idx")
+    build_index(
+        spark, df.limit(20), bare, webpages_config(), num_splits=1
+    )
+    with pytest.raises(ValueError, match="store_source"):
+        search(spark, bare, "word", k=3, highlight=True)
