@@ -1573,6 +1573,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["highlight_fragments"] = highlight_fragments
 
+    def bpe_encode_docs(spark, sf_dir):
+        """BPE tokenizer trained on the corpus (30 merges) and applied
+        to every doc. The iterative trainer has no SQL oracle — this
+        entry takes the driver's rows-only check; exactness rides the
+        randomized naive-model parity suite (tests/test_bpe.py)."""
+        from quickwit_spark.functions.bpe import encode_bpe, train_bpe
+
+        d = _docs(spark, sf_dir)
+        merges = train_bpe(d, num_merges=30, max_words=5000)
+        return encode_bpe(d, merges).select(
+            "doc_id", "n_words", "n_pieces",
+            F.md5(F.array_join("pieces", " ")).alias("pieces_md5"),
+        )
+
+    q["bpe_encode"] = bpe_encode_docs
+
     def agg_cardinality(spark, sf_dir):
         from quickwit_spark.operators.aggregations import _metric_cols
         from quickwit_spark.operators.search import (
