@@ -1589,6 +1589,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["bpe_encode"] = bpe_encode_docs
 
+    def shard_manifest_q(spark, sf_dir):
+        """Sharded-export manifest: 40-row key-ordered shards with
+        row/token counts, key range, and an ordered-key digest — the
+        distributed literal-quantile assignment must equal the naive
+        global ROW_NUMBER semantics exactly."""
+        from quickwit_spark.functions.export import shard_manifest
+
+        return shard_manifest(_docs(spark, sf_dir), rows_per_shard=40)
+
+    q["shard_manifest"] = shard_manifest_q
+
     def agg_cardinality(spark, sf_dir):
         from quickwit_spark.operators.aggregations import _metric_cols
         from quickwit_spark.operators.search import (
@@ -2706,6 +2717,26 @@ SELECT CASE WHEN rn <= 12 THEN 1 ELSE 2 END AS page,
        sz, CAST(len_text AS BIGINT) AS len_text,
        CAST(doc_count AS BIGINT) AS doc_count
 FROM o WHERE rn <= 24
+"""
+
+    o["shard_manifest"] = r"""
+WITH tk AS (
+  SELECT doc_id,
+         len(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+             x -> x <> '')) AS ntok
+  FROM documents
+), ranked AS (
+  SELECT doc_id, ntok,
+         ROW_NUMBER() OVER (ORDER BY doc_id ASC) - 1 AS gidx
+  FROM tk
+)
+SELECT CAST(gidx // 40 AS BIGINT) AS shard,
+       count(*) AS n_rows,
+       sum(ntok) AS n_tokens,
+       min(doc_id) AS key_lo,
+       max(doc_id) AS key_hi,
+       md5(string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY gidx)) AS digest
+FROM ranked GROUP BY gidx // 40
 """
 
     o["highlight_fragments"] = r"""

@@ -1408,3 +1408,57 @@ def test_composite_aggregation_pagination(spark, built_index, oracle_index):
         # sub-metric: max len_text within the bucket's histogram cell
         assert b["key"]["len"] <= b["m"]["value"] < b["key"]["len"] + 50
     assert per_lang == {b["key"]: b["doc_count"] for b in one}
+
+
+def test_export_shards_roundtrip_and_plan(spark, tmp_path):
+    """Sharded export: fixed-size key-ordered shards, a manifest that
+    matches what was written, deterministic re-run, and NO
+    single-task global sort anywhere in the assignment plan."""
+    import pandas as pd
+
+    from quickwit_spark.functions.export import (
+        assign_shards,
+        export_shards,
+    )
+
+    rng_rows = [
+        (i * 7 % 101, f"doc body number {i} with several words here")
+        for i in range(101)
+    ]  # keys 0..100 in scrambled input order
+    df = spark.createDataFrame(rng_rows, "doc_id long, text string")
+    out = str(tmp_path / "shards")
+    manifest = export_shards(df, out, rows_per_shard=25).collect()
+    m = {r["shard"]: r for r in manifest}
+    assert sorted(m) == [0, 1, 2, 3, 4]
+    assert [m[s]["n_rows"] for s in sorted(m)] == [25, 25, 25, 25, 1]
+    # shards are key-contiguous: ranges don't overlap
+    for s in range(4):
+        assert m[s]["key_hi"] < m[s + 1]["key_lo"]
+    assert m[0]["key_lo"] == 0 and m[4]["key_hi"] == 100
+    # written data matches the manifest per shard
+    back = spark.read.parquet(out)
+    got = {
+        r["shard"]: r["c"]
+        for r in back.groupBy("shard").count()
+        .withColumnRenamed("count", "c").collect()
+    }
+    assert got == {s: m[s]["n_rows"] for s in m}
+    man2 = spark.read.parquet(out + "/_manifest").collect()
+    assert {r["shard"]: r["digest"] for r in man2} == {
+        s: m[s]["digest"] for s in m
+    }
+    # deterministic re-run: identical digests
+    again = {r["shard"]: r["digest"]
+             for r in export_shards(df, out, rows_per_shard=25).collect()}
+    assert again == {s: m[s]["digest"] for s in m}
+    # scale contract: the rank window partitions by bucket — never an
+    # empty-partition (single-task) global window
+    plan = (
+        assign_shards(df, 25)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Window" in plan
+    import re as _re
+
+    for wline in _re.findall(r"Window .*", plan):
+        assert "__b" in wline, wline
