@@ -454,6 +454,23 @@ def cmd_curate(args) -> int:
             {"step": step, "docs_in": n_in, "docs_out": df.count()}
         )
 
+    if args.shard_rows:
+        from quickwit_spark.functions.export import export_shards
+
+        manifest = export_shards(
+            df, args.output, args.shard_rows,
+            key_col=id_col, text_col=text_col,
+        ).collect()
+        print(json.dumps({
+            "steps": report,
+            "output": args.output,
+            "shards": [
+                {"shard": int(r["shard"]), "n_rows": int(r["n_rows"]),
+                 "n_tokens": int(r["n_tokens"]), "digest": r["digest"]}
+                for r in sorted(manifest, key=lambda r: r["shard"])
+            ],
+        }))
+        return 0
     df.write.mode("overwrite").parquet(args.output)
     print(json.dumps({"steps": report, "output": args.output}))
     return 0
@@ -573,6 +590,11 @@ def main(argv: list[str] | None = None) -> int:
     c.add_argument("--text-col", default="text")
     c.add_argument("--c4-min-words", type=int, default=5)
     c.add_argument("--gopher-min-words", type=int, default=50)
+    c.add_argument(
+        "--shard-rows", type=int, default=0,
+        help="write key-ordered shards of this many rows + a manifest "
+             "instead of plain parquet",
+    )
     c.set_defaults(fn=cmd_curate)
 
     c = sub.add_parser("gc", help="garbage-collect retired splits")

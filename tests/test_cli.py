@@ -336,3 +336,21 @@ def test_cli_curate_pipeline(spark, tmp_path, capsys):
     assert cli.main(
         ["curate", "--input", src, "--output", out, "--steps", "nope"]
     ) == 2
+
+
+def test_cli_curate_sharded_output(spark, tmp_path, capsys):
+    import pandas as pd
+
+    rows = [{"doc_id": i, "text": f"document number {i} with words"}
+            for i in range(30)]
+    src = str(tmp_path / "docs2.parquet")
+    out = str(tmp_path / "sharded")
+    spark.createDataFrame(pd.DataFrame(rows)).write.parquet(src)
+    report = _run(
+        capsys, "curate", "--input", src, "--output", out,
+        "--steps", "fix_text", "--shard-rows", "12",
+    )
+    assert [s["n_rows"] for s in report["shards"]] == [12, 12, 6]
+    back = spark.read.parquet(out)
+    assert back.count() == 30 and "shard" in back.columns
+    assert spark.read.parquet(out + "/_manifest").count() == 3
