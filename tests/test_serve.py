@@ -359,3 +359,32 @@ def test_search_after_rest_walk(server):
     # malformed cursor -> 400
     st, err = _get(port, base + "&searchAfter=%5B1%5D")
     assert st == 400
+
+
+def test_rest_new_agg_kinds_passthrough(server):
+    """composite and top_hits flow through the REST aggregations
+    parameter unchanged."""
+    port, index_id = server
+    q = urllib.parse.quote
+    aggs = {
+        "comp": {"composite": {
+            "size": 3,
+            "sources": [{"lang": {"terms": {"field": "lang"}}}],
+        }},
+        "best": {"top_hits": {"size": 2,
+                              "sort": [{"len_text": "desc"}],
+                              "_source": ["key"]}},
+    }
+    st, resp = _get(
+        port,
+        f"/api/v1/{index_id}/search?query=word&maxHits=1"
+        f"&aggregations=" + q(json.dumps(aggs)),
+    )
+    assert st == 200
+    comp = resp["aggregations"]["comp"]
+    assert comp["buckets"] and "after_key" in comp
+    assert all("lang" in b["key"] for b in comp["buckets"])
+    hits = resp["aggregations"]["best"]["hits"]
+    assert hits["total"]["value"] == resp["num_hits"]
+    assert len(hits["hits"]) == 2
+    assert set(hits["hits"][0]["_source"]) == {"key"}
