@@ -1600,6 +1600,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["shard_manifest"] = shard_manifest_q
 
+    def tfidf_keywords_q(spark, sf_dir):
+        from quickwit_spark.functions.textstats import tfidf_keywords
+
+        return tfidf_keywords(_docs(spark, sf_dir), k=5)
+
+    q["tfidf_keywords"] = tfidf_keywords_q
+
     def agg_cardinality(spark, sf_dir):
         from quickwit_spark.operators.aggregations import _metric_cols
         from quickwit_spark.operators.search import (
@@ -2717,6 +2724,33 @@ SELECT CASE WHEN rn <= 12 THEN 1 ELSE 2 END AS page,
        sz, CAST(len_text AS BIGINT) AS len_text,
        CAST(doc_count AS BIGINT) AS doc_count
 FROM o WHERE rn <= 24
+"""
+
+    o["tfidf_keywords"] = r"""
+WITH tk AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+             x -> x <> '') AS toks
+  FROM documents
+), pairs AS (
+  SELECT doc_id, unnest(toks) AS term FROM tk
+), tf AS (
+  SELECT doc_id, term, count(*) AS tf FROM pairs GROUP BY doc_id, term
+), dfq AS (
+  SELECT term, count(*) AS df FROM tf GROUP BY term
+), n AS (
+  SELECT count(*) AS n FROM documents
+), scored AS (
+  SELECT t.doc_id, t.term, t.tf, d.df,
+         round(t.tf * ln(CAST(n.n AS DOUBLE) / d.df), 3) AS score
+  FROM tf t JOIN dfq d ON t.term = d.term CROSS JOIN n
+), ranked AS (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY doc_id ORDER BY score DESC, term ASC) AS rank
+  FROM scored
+)
+SELECT doc_id, term, tf, df, score, CAST(rank AS BIGINT) AS rank
+FROM ranked WHERE rank <= 5
 """
 
     o["shard_manifest"] = r"""

@@ -270,3 +270,63 @@ def top_ngrams(
         .filter(F.col("rank") <= k)
         .select("grp", "ngram", "n_occurrences", "rank")
     )
+
+
+def tfidf_keywords(
+    df: DataFrame,
+    k: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document top-``k`` TF-IDF keywords — the standard
+    doc-tagging/labeling step. score = tf · ln(N/df) over the
+    corpus's own document frequencies.
+
+    Determinism contract (the round-4 lesson): the RANKING key is the
+    score quantized to 3dp (both engines round the same cell — the
+    same convention the BM25/lm oracles ride) with a term-asc
+    tie-break, and the emitted score cell is that same quantized
+    value — no raw-double ordering anywhere.
+
+    Plan shape (100 TB): distinct-(doc, term) explode (term counted
+    once per doc for df; tf kept per pair) → ONE hash aggregation per
+    side — (doc, term) tf and term df — joined on term (aggregated
+    rows, not corpus rows), then a per-doc rank window whose
+    ``row_number() <= k`` filter becomes a pre-shuffle
+    WindowGroupLimit. N is one scalar agg broadcast via crossJoin.
+    """
+    from pyspark.sql import Window
+
+    from quickwit_spark.functions.dedup import _widen_narrow_input
+
+    base = _widen_narrow_input(
+        df.select(F.col(id_col).alias("doc_id"), text_col)
+    )
+    pairs = base.select(
+        "doc_id", F.explode(tokens_col(F.col(text_col))).alias("term")
+    )
+    tf = pairs.groupBy("doc_id", "term").agg(
+        F.count(F.lit(1)).alias("tf")
+    )
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = base.agg(F.count(F.lit(1)).alias("n")).withColumnRenamed(
+        "n", "__n"
+    )
+    scored = (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "score",
+            F.round(
+                F.col("tf") * F.log(F.col("__n") / F.col("df")), 3
+            ),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("score").desc(), F.col("term").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("doc_id", "term", "tf", "df", "score", "rank")
+    )

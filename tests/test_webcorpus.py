@@ -738,3 +738,37 @@ def test_significant_terms_ranking_and_plan(spark):
     # both cap what each map task contributes to the final sort
     plan = out._jdf.queryExecution().optimizedPlan().toString()
     assert "WindowGroupLimit" in plan or "LocalLimit" in plan, plan
+
+
+def test_tfidf_keywords_ranking(spark):
+    from quickwit_spark.functions.textstats import tfidf_keywords
+
+    rows = [
+        (0, "zebra zebra zebra common common word"),
+        (1, "common word here also"),
+        (2, "common word again today"),
+        (3, ""),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = tfidf_keywords(df, k=2)
+    got = {}
+    for r in out.collect():
+        got.setdefault(r["doc_id"], []).append(
+            (r["rank"], r["term"], r["tf"], r["df"])
+        )
+    for v in got.values():
+        v.sort()
+    # doc 0: 'zebra' (tf=3, df=1) dominates; 'common' (df=3) scores 0
+    # since ln(4/3) ~ 0.288 < zebra's 3*ln(4) — and rare beats common
+    assert got[0][0][1] == "zebra"
+    # 'common' appears in 3 of 4 docs: idf ln(4/3) > 0 so still ranked
+    assert len(got[0]) == 2
+    # empty doc contributes no rows but N counts it (df=3 not 4)
+    assert 3 not in got
+    assert all(t[3] <= 3 for v in got.values() for t in v)
+    # k larger than vocabulary: every doc keeps all its terms
+    allk = tfidf_keywords(df, k=100)
+    assert allk.filter("doc_id = 1").count() == 4
+    # group-limited rank: no full-vocab exchange
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    assert "WindowGroupLimit" in plan or "LocalLimit" in plan, plan
