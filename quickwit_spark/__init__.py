@@ -14,6 +14,18 @@ Quickwit 0.2.1 (reference: trinity-1686a/quickwit, studied in SURVEY.md):
   fieldnorms) top-k with block-max skipping, rank-identical results
 - checkpointed, resumable builds with per-partition lineage + metrics
 
+Beyond the reference's surface, a first-class training-data pipeline
+tier (``functions/``): exact / MinHash-LSH / SimHash / substring /
+line / URL / incremental / STREAMING dedup, C4 + Gopher cleaning,
+CCNet LM quality bucketing, PII scrubbing, decontamination, link
+graph + PageRank, BPE tokenizer training, sequence packing,
+deterministic sampling/splits, sharded export with manifests, ANN
+over embeddings — all with exact DuckDB oracles — plus an ES-style
+aggregation surface (range/histogram/date_histogram/terms/filters/
+composite/top_hits + metric aggs) fused into single grouping-sets
+passes, search_after keyset pagination and highlighting on the
+search path, and a ``curate`` CLI chaining the pipeline.
+
 Everything is DataFrame ops + vectorized pandas/Arrow UDFs — no
 per-row Python in the hot path.
 """
