@@ -1427,6 +1427,39 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["pagerank"] = pagerank
 
+    def robots_meta(spark, sf_dir):
+        """Robots meta-directive flags over synthesized pages: every
+        doc gets a <meta name="robots"> tag whose content cycles
+        none/noindex/nofollow/both by doc_id%4, plus a second
+        conflicting tag on doc_id%9==0 (union semantics) — mirrored
+        in the oracle."""
+        from quickwit_spark.functions.linkgraph import robots_directives
+
+        d = _docs(spark, sf_dir)
+        content = (
+            F.when(F.col("doc_id") % 4 == 0, F.lit("index, follow"))
+            .when(F.col("doc_id") % 4 == 1, F.lit("noindex"))
+            .when(F.col("doc_id") % 4 == 2, F.lit("nofollow"))
+            .otherwise(F.lit("noindex, nofollow"))
+        )
+        html = F.concat(
+            F.lit('<meta name="robots" content="'), content,
+            F.lit('"><p>'), F.col("text"), F.lit("</p>"),
+            F.when(
+                F.col("doc_id") % 9 == 0,
+                F.lit('<meta name="robots" content="NOINDEX">'),
+            ).otherwise(F.lit("")),
+        )
+        url = F.concat(
+            F.lit("http://"), F.col("source"), F.lit(".example.com/p/"),
+            F.col("doc_id"),
+        )
+        return robots_directives(
+            d.select(url.alias("url"), html.alias("html"))
+        )
+
+    q["robots_meta"] = robots_meta
+
     def terms_agg(spark, sf_dir):
         from quickwit_spark.operators.aggregations import terms_buckets
         from quickwit_spark.operators.search import (
@@ -3411,6 +3444,35 @@ d AS (
 
     o["link_graph"] = "WITH " + _LINKED_CTE + """
 SELECT src_domain, dst_domain, n_links FROM edges
+"""
+
+    o["robots_meta"] = r"""
+WITH d AS (
+  SELECT doc_id,
+         'http://' || source || '.example.com/p/' || doc_id AS url,
+         '<meta name="robots" content="'
+         || CASE WHEN doc_id % 4 = 0 THEN 'index, follow'
+                 WHEN doc_id % 4 = 1 THEN 'noindex'
+                 WHEN doc_id % 4 = 2 THEN 'nofollow'
+                 ELSE 'noindex, nofollow' END
+         || '"><p>' || text || '</p>'
+         || CASE WHEN doc_id % 9 = 0
+                 THEN '<meta name="robots" content="NOINDEX">'
+                 ELSE '' END AS html
+  FROM documents
+), m AS (
+  SELECT url,
+         regexp_extract_all(lower(html),
+           '<meta\s[^>]*name="robots"[^>]*content="([^"]*)"', 1) AS cs
+  FROM d
+)
+SELECT url,
+       CAST(len(list_filter(cs, c -> contains(c, 'noindex'))) > 0
+            AS INT) AS noindex,
+       CAST(len(list_filter(cs, c -> contains(c, 'nofollow'))) > 0
+            AS INT) AS nofollow,
+       CAST(len(cs) AS INT) AS n_robots_meta
+FROM m
 """
 
     _PR_ITER = """

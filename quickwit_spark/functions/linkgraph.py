@@ -146,3 +146,34 @@ def pagerank_int(edges: DataFrame, iterations: int = 3) -> DataFrame:
             )
         )
     return ranks
+
+
+ROBOTS_META_RE = (
+    r'<meta\s[^>]*name="robots"[^>]*content="([^"]*)"'
+)
+
+
+def robots_directives(
+    df: DataFrame, html_col: str = "html", url_col: str = "url"
+) -> DataFrame:
+    """(url, noindex, nofollow, n_robots_meta): robots meta-directive
+    flags per page — a compliant crawl pipeline drops noindex pages
+    from the index and nofollow pages from the link graph BEFORE
+    anything else runs. One codegen regex pass per row (the
+    extract_links discipline), no Python, no shuffle; flags are ints
+    so the gate cells are exact. A page with several robots meta tags
+    is flagged if ANY tag carries the directive (conservative union,
+    what the major engines document)."""
+    decoded = F.col(html_col).cast("string")
+    contents = F.regexp_extract_all(
+        F.lower(decoded), F.lit(ROBOTS_META_RE), F.lit(1)
+    )
+    has = lambda token: F.exists(  # noqa: E731
+        contents, lambda c: c.contains(F.lit(token))
+    ).cast("int")
+    return df.select(
+        F.col(url_col).alias("url"),
+        has("noindex").alias("noindex"),
+        has("nofollow").alias("nofollow"),
+        F.size(contents).alias("n_robots_meta"),
+    )

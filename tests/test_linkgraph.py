@@ -92,3 +92,23 @@ def test_pagerank_sink_accumulates(spark):
     )
     got = {r["domain"]: r["rank"] for r in pagerank_int(df, 2).collect()}
     assert got["hub.com"] > got["a.com"] == got["b.com"] == got["c.com"]
+
+
+def test_robots_directives_union_semantics(spark):
+    from quickwit_spark.functions.linkgraph import robots_directives
+
+    rows = [
+        ("u1", '<meta name="robots" content="NOINDEX, nofollow"><p>x</p>'),
+        ("u2", '<p>no meta at all</p>'),
+        ("u3", '<meta name="robots" content="index">'
+               '<meta name="robots" content="nofollow">'),  # union
+        ("u4", '<meta name="keywords" content="noindex">'),  # wrong meta
+    ]
+    df = spark.createDataFrame(rows, "url string, html string")
+    out = {r["url"]: r for r in robots_directives(df).collect()}
+    assert (out["u1"]["noindex"], out["u1"]["nofollow"]) == (1, 1)
+    assert (out["u2"]["noindex"], out["u2"]["n_robots_meta"]) == (0, 0)
+    assert (out["u3"]["noindex"], out["u3"]["nofollow"]) == (0, 1)
+    assert out["u3"]["n_robots_meta"] == 2
+    assert (out["u4"]["noindex"], out["u4"]["n_robots_meta"]) == (0, 0)
+    _no_python_eval(robots_directives(df))
